@@ -1,0 +1,331 @@
+"""Typed configuration for the TPU-native BEVRender framework.
+
+The reference's config system is a redacted dict (``get_config()`` returns ``{}``,
+configuration/config.py:12-19). Every key here was reconstructed from its usage
+sites; model hyper-parameter defaults come from the keyword defaults of
+``BEVEncoder.__init__`` (model/encoder.py:23-38). The UPPER_CASE reference key
+names round-trip through :meth:`Config.to_reference_dict` /
+:meth:`Config.from_reference_dict` so that a user of the reference can keep
+their config dicts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass
+class ModelConfig:
+    """Hyper-parameters of the BEVRender model.
+
+    Defaults mirror model/encoder.py:23-38 of the reference.
+    """
+
+    # DAT_* family ------------------------------------------------------------
+    bev_shapes: Tuple[int, ...] = (56, 28, 14, 7, 14, 28, 56, 56)  # DAT_BEV_SHAPE
+    embed_dims: Tuple[int, ...] = (64, 128, 256, 512, 256, 128, 64, 64)  # DAT_EMBED_DIMS
+    n_stages: int = 7  # DAT_NUM_STAGES
+    depths: Tuple[int, ...] = (2, 2, 2, 2, 2, 2, 2)  # DAT_VIT_DEPTHS
+    n_heads: Tuple[int, ...] = (2, 4, 8, 16, 8, 4, 2)  # DAT_NUM_HEADS
+    strides: Tuple[int, ...] = (8, 4, 2, 1, 2, 4, 8)  # DAT_STRIDES
+    n_groups: Tuple[int, ...] = (1, 2, 4, 8, 4, 2, 1)  # DAT_NUM_GROUPS
+    kernel_sizes: Tuple[int, ...] = (9, 7, 5, 3, 5, 7, 9)  # DAT_K_SIZES
+    expansion: int = 4  # DAT_EXPANSION
+    bev_depth_dim: int = 5  # DAT_BEV_DEPTH_DIM
+    scale_offset_range: bool = True  # DAT_SCALE_OFFSET_RANGE
+    drop_rate: float = 0.0  # DAT_DROP_RATE
+    attn_drop_rate: float = 0.0  # DAT_ATTN_DROP_RATE
+    drop_path_rate: float = 0.2  # DAT_DROP_PATH_RATE
+    backbone: str = "ResNet18"  # DAT_BACKBONE_TYPE: ResNet18 | PatchProjection | ResnetFPN
+    decoder_hid_dim: int = 64  # DECODER_HID_DIM
+    num_views: int = 3  # NUM_VIEWS
+    dtype: str = "float32"  # DATA_TYPE (compute dtype; params stay float32)
+
+    # Geometry ----------------------------------------------------------------
+    bev_bound: Dict[str, float] = field(
+        default_factory=lambda: {"X": 25.2, "Y": 25.2, "Z": 2.5}
+    )  # BEV_BOUND (meters); values reconstructed, tune to dataset
+    sample_z_shift: float = -1.0  # SAMPLE_Z_SHIFT (encoder.py:29 default z_shift=-1.0)
+    img_height: int = 224  # IMG_HEIGHT (per-view, post-resize)
+    img_width: int = 224  # IMG_WIDTH
+    ori_img_height: int = 512  # ORI_IMG_HEIGHT
+    ori_img_width: int = 640  # ORI_IMG_WIDTH
+    remove_ref_in_gray: bool = False  # REMOVE_REF_IN_GRAY
+    bound_check_img_paths: Optional[List[str]] = None  # BOUND_CHECK_IMG_PATH
+    vehicle_type_code: int = 0  # VEHICLE_TYPE_CODE
+    # IMU_TO_RGB / INTRINSIC_K: per vehicle-type lists of 4x4 / 3x4 matrices.
+    imu_to_rgb: Optional[Dict[int, List[Any]]] = None
+    intrinsic_k: Optional[Dict[int, List[Any]]] = None
+
+    # TPU-build specific ------------------------------------------------------
+    norm: str = "batch"  # batch | group; reference uses BatchNorm (+SyncBN under DDP)
+    attn_chunk: int = 512  # query-chunk size for streamed attention (memory bound)
+    use_pallas: bool = True  # use fused Pallas kernels on TPU when available
+    param_dtype: str = "float32"
+
+    @property
+    def window_key_shape(self) -> Tuple[int, int]:
+        """SCA key-plane shape at stage 0: (bev_h // 2, bev_w * depth)."""
+        return self.bev_shapes[0] // 2, self.bev_shapes[0] * self.bev_depth_dim
+
+
+@dataclass
+class DataConfig:
+    dataset_dir: str = ""  # DATASET_DIR
+    gps_file_path: str = ""  # GPS_FILE_PATH
+    rgb_img_dir: str = ""  # RGB_IMG_DIR
+    map_img_dir: str = ""  # MAP_IMG_DIR
+    overlap: bool = False  # OVERLAP
+    window_timespin: float = 2.0  # WINDOW_TIMESPIN (seconds; *1e6 at use, train.py:759)
+    window_num_imgs: int = 3  # WINDOW_NUM_IMGS (history frames per window)
+    num_views: int = 3  # NUM_VIEWS
+    resize_img: bool = True  # RESIZE_IMG
+    resize_img_height: int = 224  # RESIZE_IMG_HEIGHT (wide image height)
+    resize_img_width: int = 672  # RESIZE_IMG_WIDTH (wide image width = views * 224)
+    camera_norm_mean: Tuple[float, ...] = (0.485, 0.456, 0.406)  # CAMERA_NORM_MEAN
+    camera_norm_std: Tuple[float, ...] = (0.229, 0.224, 0.225)  # CAMERA_NORM_STD
+    map_norm_mean: Tuple[float, ...] = (0.485, 0.456, 0.406)  # MAP_NORM_MEAN
+    map_norm_std: Tuple[float, ...] = (0.229, 0.224, 0.225)  # MAP_NORM_STD
+    map_width: int = 10000  # MAP_WIDTH
+    map_height: int = 10000  # MAP_HEIGHT
+    map_resize_scale: float = 1.0  # MAP_RESIZE_SCALE
+    map_jgw_info: Tuple[float, ...] = (1.0, 0.0, 0.0, -1.0, 0.0, 10000.0)  # MAP_JGW_INFO
+    map_path: Optional[Dict[str, str]] = None  # MAP_PATH
+    map_month: Optional[str] = None  # MAP_MONTH
+    map_tile: int = 224  # aerial map tile size fed to losses
+    augmentation: str = "none"  # none | weak | strong (dataset.py:185-207)
+
+
+@dataclass
+class TrainConfig:
+    seed: int = 15213  # SEED
+    total_epochs: int = 100  # TOTAL_EPOCHS
+    batch_size: int = 2  # BATCH_SIZE (per-process global batch)
+    k_fold: int = 5  # K_FOLD
+    epoch_per_fold: int = 10  # hardcoded in reference (train.py:658)
+    num_workers: int = 4  # NUM_WORKERS (host decode thread pool)
+    pin_memory: bool = True  # PIN_MEMORY (no-op on TPU; kept for parity)
+    learning_rate: float = 1e-4  # LEARNING_RATE
+    weight_decay: float = 1e-4  # WEIGHT_DECAY
+    eps: float = 1e-8  # EPS
+    warmup_epochs: int = 5  # WarmupCosineSchedule warmup (train.py:729)
+    grad_clip_norm: float = 1.0  # train.py:236-245
+    loss_type: str = "MSE"  # LOSS_TYPE (substring-matched, train.py:96-125)
+    validation_frequency: int = 1  # VALIDATION_FREQUENCY
+    validation_metric: str = "LOSS"  # VALIDATION_METRIC: LOSS | RECALL
+    apply_validation: bool = True  # APPLY_VALIDATION
+    save_ckpt: bool = True  # SAVE_CKPT
+    save_val_results: bool = False  # SAVE_VAL_RESULTS
+    distributed: bool = False  # DISTRIBUTED_TRAINING
+    use_wandb: bool = False  # USE_WANDB
+    wandb_log_img_freq_train: int = 50  # WANDB_LOG_IMG_FERQ_TRAIN (sic)
+    wandb_log_img_freq_val: int = 20  # WANDB_LOG_IMG_FERQ_VAL
+    ckpt_dir: str = "/tmp/bevrender_ckpt"  # CKPT_DIR
+    work_dir: str = ""  # WORK_DIR (filled with CKPT_DIR/<unix_ts>)
+    split_inf_set: bool = False  # SPLIT_INF_SET
+    inf_set_ratio: float = 0.1  # INF_SET_RATIO
+    # TPU-build specific
+    data_axis: str = "data"  # mesh axis name for data parallelism
+    model_axis: Optional[str] = None  # optional mesh axis for tensor/sequence sharding
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    # ------------------------------------------------------------------
+    # Reference-dict round trip (74-key schema, SURVEY.md section 5.6)
+    # ------------------------------------------------------------------
+    _REF_MAP = {
+        # (reference key, section, field)
+        "SEED": ("train", "seed"),
+        "TOTAL_EPOCHS": ("train", "total_epochs"),
+        "BATCH_SIZE": ("train", "batch_size"),
+        "K_FOLD": ("train", "k_fold"),
+        "NUM_WORKERS": ("train", "num_workers"),
+        "PIN_MEMORY": ("train", "pin_memory"),
+        "LEARNING_RATE": ("train", "learning_rate"),
+        "WEIGHT_DECAY": ("train", "weight_decay"),
+        "EPS": ("train", "eps"),
+        "LOSS_TYPE": ("train", "loss_type"),
+        "VALIDATION_FREQUENCY": ("train", "validation_frequency"),
+        "VALIDATION_METRIC": ("train", "validation_metric"),
+        "APPLY_VALIDATION": ("train", "apply_validation"),
+        "SAVE_CKPT": ("train", "save_ckpt"),
+        "SAVE_VAL_RESULTS": ("train", "save_val_results"),
+        "DISTRIBUTED_TRAINING": ("train", "distributed"),
+        "USE_WANDB": ("train", "use_wandb"),
+        "WANDB_LOG_IMG_FERQ_TRAIN": ("train", "wandb_log_img_freq_train"),
+        "WANDB_LOG_IMG_FERQ_VAL": ("train", "wandb_log_img_freq_val"),
+        "CKPT_DIR": ("train", "ckpt_dir"),
+        "WORK_DIR": ("train", "work_dir"),
+        "SPLIT_INF_SET": ("train", "split_inf_set"),
+        "INF_SET_RATIO": ("train", "inf_set_ratio"),
+        "DATASET_DIR": ("data", "dataset_dir"),
+        "GPS_FILE_PATH": ("data", "gps_file_path"),
+        "RGB_IMG_DIR": ("data", "rgb_img_dir"),
+        "MAP_IMG_DIR": ("data", "map_img_dir"),
+        "OVERLAP": ("data", "overlap"),
+        "WINDOW_TIMESPIN": ("data", "window_timespin"),
+        "WINDOW_NUM_IMGS": ("data", "window_num_imgs"),
+        "NUM_VIEWS": ("data", "num_views"),
+        "RESIZE_IMG": ("data", "resize_img"),
+        "RESIZE_IMG_HEIGHT": ("data", "resize_img_height"),
+        "RESIZE_IMG_WIDTH": ("data", "resize_img_width"),
+        "CAMERA_NORM_MEAN": ("data", "camera_norm_mean"),
+        "CAMERA_NORM_STD": ("data", "camera_norm_std"),
+        "MAP_NORM_MEAN": ("data", "map_norm_mean"),
+        "MAP_NORM_STD": ("data", "map_norm_std"),
+        "MAP_WIDTH": ("data", "map_width"),
+        "MAP_HEIGHT": ("data", "map_height"),
+        "MAP_RESIZE_SCALE": ("data", "map_resize_scale"),
+        "MAP_JGW_INFO": ("data", "map_jgw_info"),
+        "MAP_PATH": ("data", "map_path"),
+        "MAP_MONTH": ("data", "map_month"),
+        "VEHICLE_TYPE_CODE": ("model", "vehicle_type_code"),
+        "IMU_TO_RGB": ("model", "imu_to_rgb"),
+        "INTRINSIC_K": ("model", "intrinsic_k"),
+        "IMG_HEIGHT": ("model", "img_height"),
+        "IMG_WIDTH": ("model", "img_width"),
+        "ORI_IMG_HEIGHT": ("model", "ori_img_height"),
+        "ORI_IMG_WIDTH": ("model", "ori_img_width"),
+        "REMOVE_REF_IN_GRAY": ("model", "remove_ref_in_gray"),
+        "BOUND_CHECK_IMG_PATH": ("model", "bound_check_img_paths"),
+        "BEV_BOUND": ("model", "bev_bound"),
+        "SAMPLE_Z_SHIFT": ("model", "sample_z_shift"),
+        "DAT_BEV_SHAPE": ("model", "bev_shapes"),
+        "DAT_EMBED_DIMS": ("model", "embed_dims"),
+        "DAT_NUM_STAGES": ("model", "n_stages"),
+        "DAT_VIT_DEPTHS": ("model", "depths"),
+        "DAT_NUM_HEADS": ("model", "n_heads"),
+        "DAT_STRIDES": ("model", "strides"),
+        "DAT_NUM_GROUPS": ("model", "n_groups"),
+        "DAT_K_SIZES": ("model", "kernel_sizes"),
+        "DAT_EXPANSION": ("model", "expansion"),
+        "DAT_BEV_DEPTH_DIM": ("model", "bev_depth_dim"),
+        "DAT_SCALE_OFFSET_RANGE": ("model", "scale_offset_range"),
+        "DAT_DROP_RATE": ("model", "drop_rate"),
+        "DAT_ATTN_DROP_RATE": ("model", "attn_drop_rate"),
+        "DAT_DROP_PATH_RATE": ("model", "drop_path_rate"),
+        "DAT_BACKBONE_TYPE": ("model", "backbone"),
+        "DECODER_HID_DIM": ("model", "decoder_hid_dim"),
+        "DATA_TYPE": ("model", "dtype"),
+    }
+
+    def to_reference_dict(self) -> Dict[str, Any]:
+        """Export as the reference's UPPER_CASE flat dict."""
+        out: Dict[str, Any] = {}
+        for key, (section, fieldname) in self._REF_MAP.items():
+            value = getattr(getattr(self, section), fieldname)
+            if isinstance(value, tuple):
+                value = list(value)
+            out[key] = value
+        return out
+
+    @classmethod
+    def from_reference_dict(cls, ref: Dict[str, Any]) -> "Config":
+        cfg = cls()
+        for key, value in ref.items():
+            if key not in cls._REF_MAP:
+                continue
+            section, fieldname = cls._REF_MAP[key]
+            current = getattr(getattr(cfg, section), fieldname)
+            if isinstance(current, tuple) and isinstance(value, (list, tuple)):
+                value = tuple(value)
+            setattr(getattr(cfg, section), fieldname, value)
+        return cfg
+
+    # ------------------------------------------------------------------
+    # Printing / save parity (configuration/config.py:22-64)
+    # ------------------------------------------------------------------
+    def print_config(self, num_char: int = 100) -> str:
+        lines = ["=" * num_char, "Configuration:", "=" * num_char]
+        for key, value in self.to_reference_dict().items():
+            if isinstance(value, dict):
+                lines.append(f"{key}:")
+                for k, v in value.items():
+                    lines.append(f"\t{k}\t{v}")
+            else:
+                lines.append(f"{key}\t{value}")
+        lines.append("=" * num_char)
+        text = "\n".join(lines)
+        print(text, flush=True)
+        return text
+
+    def save_config_given_dir(self, dirname: str) -> None:
+        """Pseudo-YAML dump, mirroring configuration/config.py:33-47."""
+        path = Path(dirname) / "config.yaml"
+        with open(path, "w") as f:
+            for key, value in self.to_reference_dict().items():
+                if isinstance(value, dict):
+                    f.write(f"{key}:\n")
+                    for k, v in value.items():
+                        f.write(f"\t{k}\t{v}\n")
+                else:
+                    f.write(f"{key}:\t{value}\n")
+                f.write("\n")
+
+    def to_json(self) -> str:
+        def default(o):
+            if dataclasses.is_dataclass(o):
+                return dataclasses.asdict(o)
+            return str(o)
+
+        return json.dumps(dataclasses.asdict(self), default=default, indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        cfg = cls()
+        for section in ("model", "data", "train"):
+            sec_obj = getattr(cfg, section)
+            for k, v in raw.get(section, {}).items():
+                if hasattr(sec_obj, k):
+                    current = getattr(sec_obj, k)
+                    if isinstance(current, tuple) and isinstance(v, list):
+                        v = tuple(v)
+                    setattr(sec_obj, k, v)
+        return cfg
+
+
+def get_config(print_or_not: bool = False, save_or_not: bool = False) -> Dict[str, Any]:
+    """Reference-API-compatible entry (configuration/config.py:12-19), but
+    returning a fully-populated dict instead of the redacted ``{}``."""
+    cfg = Config()
+    ref = cfg.to_reference_dict()
+    if print_or_not:
+        cfg.print_config()
+    return ref
+
+
+def tiny_model_config(**overrides) -> ModelConfig:
+    """A minimal config used by unit tests: 2 stages, small BEV, 2 views."""
+    base = dict(
+        bev_shapes=(8, 8, 8),
+        embed_dims=(8, 8, 8),
+        n_stages=2,
+        depths=(1, 1),
+        n_heads=(2, 2),
+        strides=(2, 2),
+        n_groups=(1, 1),
+        kernel_sizes=(3, 3),
+        expansion=2,
+        bev_depth_dim=2,
+        num_views=2,
+        img_height=32,
+        img_width=32,
+        ori_img_height=32,
+        ori_img_width=32,
+        backbone="PatchProjection",
+        drop_path_rate=0.0,
+        attn_chunk=16,
+        norm="batch",
+    )
+    base.update(overrides)
+    return ModelConfig(**base)

@@ -1,0 +1,214 @@
+"""Window dataset + host-side image pipeline (dataloader/dataset.py rebuild).
+
+``GPSDeniedDataset.__getitem__`` semantics (dataset.py:75-165):
+* randomly subsample ``window_num_imgs`` history frames from the window and
+  always keep the window's last frame as the current frame (static shapes:
+  exactly T = window_num_imgs + 1 frames per sample);
+* load one wide image per timestep, resize, split into ``num_views`` camera
+  views along width, scale to [0, 1], normalize by mean/std;
+* load the matching aerial map tile, scale to [0, 1] only (map normalization
+  deliberately disabled, dataset.py:150-151, 211-221);
+* return ``{timestamp, camera, map, vehicle_pose(x, y, heading),
+  vehicle_type}``.
+
+Differences: NHWC layout; seeded per-epoch subsampling (the reference's
+``random.sample`` is unseeded — SURVEY 5.2); decode runs in a thread pool and
+batches are prefetched to device (data/prefetch.py). Augmentations
+(none/weak/strong, dataset.py:185-207) are numpy reimplementations of
+ColorJitter / RandomGrayscale / RandomPosterize.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from bevrender_tpu.data.processor import (
+    REC_MAP_PATH,
+    REC_PIXEL_X,
+    REC_PIXEL_Y,
+    REC_RGB_PATH,
+    REC_TIMESTAMP,
+    REC_VEHICLE_TYPE,
+    REC_YAW,
+)
+
+
+def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Host bilinear resize (half-pixel centers, like PIL/torchvision)."""
+    from PIL import Image
+
+    return np.asarray(
+        Image.fromarray(img).resize((w, h), Image.BILINEAR)
+    )
+
+
+class Augmenter:
+    """Seeded numpy augmentations matching dataset.py:185-207's menus."""
+
+    def __init__(self, kind: str, rng: random.Random):
+        if kind not in ("none", "weak", "strong"):
+            raise RuntimeError("wrong data augmentation type!")
+        self.kind = kind
+        self.rng = rng
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        if self.kind == "none":
+            return img
+        jitter = 0.2 if self.kind == "strong" else 0.1
+        img = img.astype(np.float32)
+        # brightness/contrast/saturation jitter
+        img = img * self.rng.uniform(1 - jitter, 1 + jitter)
+        mean = img.mean()
+        img = (img - mean) * self.rng.uniform(1 - jitter, 1 + jitter) + mean
+        gray = img.mean(axis=-1, keepdims=True)
+        img = (img - gray) * self.rng.uniform(1 - jitter, 1 + jitter) + gray
+        img = np.clip(img, 0, 255)
+        if self.rng.random() < 0.2:  # RandomGrayscale(p=0.2)
+            img = np.broadcast_to(img.mean(axis=-1, keepdims=True), img.shape)
+        if self.kind == "strong" and self.rng.random() < 0.2:
+            # RandomPosterize(p=0.2, bits=4)
+            img = np.floor(img / 16.0) * 16.0
+        return img.astype(np.uint8)
+
+
+class GPSDeniedDataset:
+    """Map-style dataset over temporal windows."""
+
+    def __init__(
+        self,
+        datalist: List[List[list]],
+        mode: str = "train",
+        data_augmentation: str = "none",
+        num_views: int = 3,
+        window_num_imgs: int = 3,
+        resize_cmr_img: bool = True,
+        resize_img_height: int = 224,
+        resize_img_width: int = 672,
+        img_norm_mean: Sequence[float] = (0.485, 0.456, 0.406),
+        img_norm_std: Sequence[float] = (0.229, 0.224, 0.225),
+        map_norm_mean: Sequence[float] = (0.485, 0.456, 0.406),
+        map_norm_std: Sequence[float] = (0.229, 0.224, 0.225),
+        map_tile: int = 224,
+        seed: int = 0,
+        logger=None,
+    ):
+        self.datalist = datalist
+        self.mode = mode
+        self.num_views = num_views
+        self.window_num_imgs = window_num_imgs
+        self.resize_cmr_img = resize_cmr_img
+        self.resize_img_height = resize_img_height
+        self.resize_img_width = resize_img_width
+        self.img_norm_mean = np.asarray(img_norm_mean, np.float32)
+        self.img_norm_std = np.asarray(img_norm_std, np.float32)
+        self.map_tile = map_tile
+        self.rng = random.Random(seed)
+        self.augment = Augmenter(data_augmentation, self.rng)
+
+    def __len__(self) -> int:
+        return len(self.datalist)
+
+    # ------------------------------------------------------------------
+    def _load_wide_image(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        img = np.asarray(Image.open(path).convert("RGB"))
+        if self.resize_cmr_img:
+            img = _resize_bilinear(img, self.resize_img_height, self.resize_img_width)
+        return img
+
+    def _frame_views(self, path: str) -> np.ndarray:
+        """Wide image -> (V, Hv, Wv, 3) float in [0,1], normalized."""
+        img = self.augment(self._load_wide_image(path))
+        h, w, _ = img.shape
+        vw = w // self.num_views
+        views = img.reshape(h, self.num_views, vw, 3).transpose(1, 0, 2, 3)
+        views = views.astype(np.float32) / 255.0
+        return (views - self.img_norm_mean) / self.img_norm_std
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        window = self.datalist[index]
+        if self.mode in ("train", "validation"):
+            take = sorted(
+                self.rng.sample(range(len(window) - 1), self.window_num_imgs)
+            )
+            frames = [window[i] for i in take] + [window[-1]]
+        else:  # inference: the full window (dataset.py:118-119)
+            frames = list(window)
+
+        cameras = np.stack([self._frame_views(fr[REC_RGB_PATH]) for fr in frames])
+        poses = np.stack(
+            [
+                np.asarray(
+                    [fr[REC_PIXEL_X], fr[REC_PIXEL_Y], fr[REC_YAW]], np.float32
+                )
+                for fr in frames
+            ]
+        )
+
+        from PIL import Image
+
+        map_img = np.asarray(
+            Image.open(frames[-1][REC_MAP_PATH]).convert("RGB"), np.float32
+        ) / 255.0  # ToTensor only; no normalization (dataset.py:150-151)
+
+        return {
+            "timestamp": np.int64(frames[-1][REC_TIMESTAMP]),
+            "camera": cameras,  # (T, V, Hv, Wv, 3)
+            "map": map_img,  # (Hm, Wm, 3)
+            "vehicle_pose": poses,  # (T, 3)
+            "vehicle_type": np.asarray([frames[-1][REC_VEHICLE_TYPE]], np.int32),
+        }
+
+
+class SyntheticDataset:
+    """Disk-free stand-in with the GPSDeniedDataset sample contract; used by
+    tests and benchmarks (the reference dataset requires the off-road trace,
+    which is not shipped)."""
+
+    def __init__(
+        self,
+        n_items: int = 32,
+        num_views: int = 3,
+        window_num_imgs: int = 3,
+        img_height: int = 224,
+        img_width: int = 224,
+        map_tile: int = 224,
+        n_vehicle_types: int = 1,
+        seed: int = 0,
+    ):
+        self.n = n_items
+        self.num_views = num_views
+        self.T = window_num_imgs + 1
+        self.h = img_height
+        self.w = img_width
+        self.map_tile = map_tile
+        self.n_types = n_vehicle_types
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        return {
+            "timestamp": np.int64(1_700_000_000_000_000 + index * 250_000),
+            "camera": rng.standard_normal(
+                (self.T, self.num_views, self.h, self.w, 3), dtype=np.float32
+            ),
+            "map": rng.uniform(0, 1, (self.map_tile, self.map_tile, 3)).astype(
+                np.float32
+            ),
+            "vehicle_pose": np.stack(
+                [
+                    100.0 + 2.0 * np.arange(self.T, dtype=np.float32) + index,
+                    200.0 + 1.0 * np.arange(self.T, dtype=np.float32),
+                    0.1 * np.arange(self.T, dtype=np.float32),
+                ],
+                axis=1,
+            ),
+            "vehicle_type": np.asarray([index % self.n_types], np.int32),
+        }

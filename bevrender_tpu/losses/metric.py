@@ -1,0 +1,147 @@
+"""Metric-learning losses in pure JAX.
+
+The reference wraps ``pytorch_metric_learning`` (PML) with paired-arange
+labels: camera embedding i and map embedding i are the only positive pair
+(loss/contrastive_loss.py:11-19, loss/triplet_loss_metric.py:18-28,
+loss/lift_loss.py:13-22). PML is reimplemented here from its documented
+semantics with fully static shapes (masked pairwise/triplet tensors — no
+dynamic mining shapes, jit-friendly):
+
+* ``contrastive_loss`` — PML ``ContrastiveLoss(pos_margin=0, neg_margin=1)``:
+  L2-normalized euclidean distance; positive-pair loss ``relu(d - pos_margin)``,
+  negative-pair loss ``relu(neg_margin - d)``; each averaged over its *nonzero*
+  elements (PML's AvgNonZeroReducer) then summed.
+* ``triplet_loss`` — PML ``TripletMarginLoss(distance=CosineSimilarity,
+  reducer=ThresholdReducer(high=0.3), embedding_regularizer=LpRegularizer())``
+  fed by ``TripletMarginMiner(margin=0.2, type="semihard")``: triplets where
+  the negative is farther than the positive but within the mining margin;
+  per-triplet loss ``relu(s_an - s_ap + margin)`` on cosine similarities;
+  averaged over triplets with loss below the reducer threshold; plus the mean
+  L2 norm of the raw embeddings.
+* ``lifted_structure_loss`` — PML ``LiftedStructureLoss(neg_margin=1,
+  pos_margin=0)`` (Oh Song et al., CVPR 2016): per positive pair
+  ``J = log(sum_neg exp(neg_margin - d)) + (d_pos - pos_margin)``, loss
+  ``mean_pos(relu(J)^2) / 2``.
+
+All take ``(cam_embeddings, map_embeddings)`` of shape (B, D) — flattened
+model outputs, as the trainer feeds them (train.py:224-232).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def _l2_normalize(x: jax.Array) -> jax.Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), _EPS)
+
+
+def _pair_setup(cam: jax.Array, map_: jax.Array):
+    """Concatenate embeddings with paired-arange labels; return (emb, pos_mask,
+    neg_mask) with the diagonal excluded."""
+    B = cam.shape[0]
+    emb = jnp.concatenate([cam, map_], axis=0)  # (2B, D)
+    labels = jnp.concatenate([jnp.arange(B), jnp.arange(B)])
+    same = labels[:, None] == labels[None, :]
+    eye = jnp.eye(2 * B, dtype=bool)
+    return emb, same & ~eye, ~same
+
+
+def _euclidean_dist(x: jax.Array) -> jax.Array:
+    sq = jnp.sum(x * x, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * x @ x.T
+    return jnp.sqrt(jnp.maximum(d2, _EPS))
+
+
+def _masked_mean_nonzero(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """PML AvgNonZeroReducer: mean over (masked) strictly-positive losses."""
+    nz = mask & (values > 0)
+    total = jnp.sum(jnp.where(nz, values, 0.0))
+    count = jnp.sum(nz)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+
+def contrastive_loss(
+    cam: jax.Array,
+    map_: jax.Array,
+    pos_margin: float = 0.0,
+    neg_margin: float = 1.0,
+) -> jax.Array:
+    emb, pos_mask, neg_mask = _pair_setup(cam, map_)
+    d = _euclidean_dist(_l2_normalize(emb))
+    pos_loss = _masked_mean_nonzero(jnp.maximum(d - pos_margin, 0.0), pos_mask)
+    neg_loss = _masked_mean_nonzero(jnp.maximum(neg_margin - d, 0.0), neg_mask)
+    return pos_loss + neg_loss
+
+
+def triplet_loss(
+    cam: jax.Array,
+    map_: jax.Array,
+    margin: float = 0.05,
+    miner_margin: float = 0.2,
+    reducer_high: float = 0.3,
+    reg_weight: float = 1.0,
+) -> jax.Array:
+    emb, pos_mask, neg_mask = _pair_setup(cam, map_)
+    normed = _l2_normalize(emb)
+
+    # semihard mining on normalized euclidean distance
+    # (PML TripletMarginMiner default distance).
+    d = _euclidean_dist(normed)
+    d_ap = d[:, :, None]  # (a, p, ·)
+    d_an = d[:, None, :]  # (a, ·, n)
+    semihard = (d_an > d_ap) & (d_an < d_ap + miner_margin)
+    valid = pos_mask[:, :, None] & neg_mask[:, None, :] & semihard
+
+    # per-triplet loss on cosine similarity (larger = closer)
+    s = normed @ normed.T
+    viol = jnp.maximum(s[:, None, :] - s[:, :, None] + margin, 0.0)  # s_an - s_ap
+
+    # ThresholdReducer(high): average the (mined) losses below the threshold
+    keep = valid & (viol < reducer_high)
+    total = jnp.sum(jnp.where(keep, viol, 0.0))
+    count = jnp.sum(keep)
+    loss = jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+    reg = jnp.mean(jnp.linalg.norm(emb, axis=-1))
+    return loss + reg_weight * reg
+
+
+def lifted_structure_loss(
+    cam: jax.Array,
+    map_: jax.Array,
+    neg_margin: float = 1.0,
+    pos_margin: float = 0.0,
+) -> jax.Array:
+    emb, pos_mask, neg_mask = _pair_setup(cam, map_)
+    d = _euclidean_dist(_l2_normalize(emb))
+
+    # log-sum-exp over each row's negatives (masked, numerically stable)
+    neg_terms = jnp.where(neg_mask, neg_margin - d, -jnp.inf)  # (2B, 2B)
+    row_lse = jax.nn.logsumexp(neg_terms, axis=1)  # (2B,)
+
+    # per positive pair (i, j): lse over negatives of i and of j combined
+    pair_lse = jnp.logaddexp(row_lse[:, None], row_lse[None, :])
+    J = pair_lse + (d - pos_margin)
+    J = jnp.maximum(J, 0.0)
+
+    n_pos = jnp.sum(pos_mask)
+    return jnp.sum(jnp.where(pos_mask, J**2, 0.0)) / jnp.maximum(2.0 * n_pos, 1.0)
+
+
+class ContrastiveLoss:
+    def get_loss(self, cam, map_):
+        return contrastive_loss(cam, map_)
+
+
+class TripletLossMetricLearning:
+    def get_loss(self, cam, map_):
+        return triplet_loss(cam, map_)
+
+
+class LiftedStructureLoss:
+    def get_loss(self, cam, map_):
+        return lifted_structure_loss(cam, map_)

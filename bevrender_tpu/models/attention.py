@@ -1,0 +1,279 @@
+"""Deformable attention modules: TSA (temporal) and SCA (spatial cross).
+
+TPU-native redesigns of model/TSA_deform_attn.py and model/SCA_deform_attn.py.
+Differences from the reference, made deliberately (SURVEY section 7 "hard
+parts"):
+
+* NHWC layout; 1x1 convs become channel Dense layers.
+* The per-view Python loop of SCA (SCA_deform_attn.py:213) stays a static
+  3-iteration loop inside jit (XLA parallelizes freely); each view has its own
+  offset head like the reference's ``conv_offset_m{0,1,2}``.
+* The reference's per-view offset heads are shape-inconsistent: m0 emits
+  ``depth`` channels and splits BEV rows in half to produce (y, x) components
+  (SCA_deform_attn.py:56-77, 248-255), while m1/m2 emit ``2*depth`` channels
+  that cannot satisfy the same rearrange (78-121). We keep m0's key geometry —
+  the key plane is ``(bev_h/2, bev_w*depth)``, matching the projected voxel
+  grid of model/SCA.py:112-162 — but produce offsets with a stride-(2,1) conv
+  emitting ``2*depth`` channels, which is shape-consistent for every view.
+* ``proj_q`` (constructed but never applied, SCA_deform_attn.py:123-125;
+  queries enter attention raw at :304) and ``proj_views`` (unused, :147-153)
+  are not re-created.
+* The dense (M, N) attention + rpe grid_sample is replaced by the streamed
+  chunked kernel in ops/deform_attn.py (identical math, bounded memory).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bevrender_tpu.models.layers import trunc_normal_init
+from bevrender_tpu.ops.deform_attn import streamed_deform_attention
+from bevrender_tpu.ops.grid_sample import grid_sample_2d, normalized_grid
+
+
+def _split_heads(x: jax.Array, n_groups: int, heads_per_group: int) -> jax.Array:
+    """(B, M, C) -> (B, G, Hpg, M, ch). Channel nesting matches the reference:
+    group-major, then head (TSA_deform_attn.py:219-235)."""
+    B, M, C = x.shape
+    ch = C // (n_groups * heads_per_group)
+    x = x.reshape(B, M, n_groups, heads_per_group, ch)
+    return x.transpose(0, 2, 3, 1, 4)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """(B, G, Hpg, M, ch) -> (B, M, C)."""
+    B, G, Hpg, M, ch = x.shape
+    return x.transpose(0, 3, 1, 2, 4).reshape(B, M, G * Hpg * ch)
+
+
+class _OffsetScale:
+    """tanh-bounded offset range (SCA_deform_attn.py:260-267)."""
+
+    @staticmethod
+    def apply(offset, hk, wk, factor):
+        rng = jnp.asarray([1.0 / (hk - 1.0), 1.0 / (wk - 1.0)], offset.dtype)
+        return jnp.tanh(offset) * rng * factor
+
+
+class TSADeformableAttention(nn.Module):
+    """Temporal self-attention over the BEV plane (TSA_deform_attn.py:14-337).
+
+    Keys are sampled from the (ego-motion-aligned) previous BEV map at learned
+    offsets around a strided reference grid; when no history exists the module
+    degenerates to deformable self-attention on the current query
+    (TSA_deform_attn.py:141-143 — handled by the caller passing
+    ``prev_bev=None``).
+    """
+
+    dim: int
+    n_heads: int
+    n_groups: int
+    stride: int
+    kernel_size: int
+    scale_offset_range: bool = True
+    offset_range_factor: float = 0.5  # TSA_deform_attn.py:50-52
+    attn_drop_rate: float = 0.0
+    proj_drop_rate: float = 0.0
+    chunk: int = 512
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,  # (B, H, W, C)
+        prev_bev: Optional[jax.Array],  # (B, H, W, C) or None
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, H, W, C = query.shape
+        G = self.n_groups
+        Cg = C // G
+        Hpg = self.n_heads // G
+        ch = C // self.n_heads
+        x = query if prev_bev is None else prev_bev
+
+        # --- offsets from grouped query (TSA_deform_attn.py:54-68,158-174) ---
+        qg = query.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4)
+        qg = qg.reshape(B * G, H, W, Cg)
+        pad = self.kernel_size // 2 if self.kernel_size != self.stride else 0
+        off = nn.Conv(
+            Cg,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=Cg,
+            name="offset_dwconv",
+        )(qg)
+        off = nn.LayerNorm(name="offset_norm")(off)
+        off = nn.gelu(off)
+        off = nn.Conv(2, (1, 1), use_bias=False, name="offset_proj")(off)
+        # (B*G, Hk, Wk, 2) channels = (y, x)
+        Hk, Wk = off.shape[1], off.shape[2]
+        N = Hk * Wk
+
+        ref = normalized_grid(Hk, Wk, off.dtype)  # (Hk, Wk, 2) (y, x)
+        if self.scale_offset_range:
+            off = _OffsetScale.apply(off, Hk, Wk, self.offset_range_factor)
+            pos = off + ref[None]
+        else:
+            pos = jnp.clip(off + ref[None], -1.0, 1.0)
+
+        # --- K/V gather from (prev) BEV (TSA_deform_attn.py:210-217) ---
+        xg = x.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4).reshape(B * G, H, W, Cg)
+        kv = grid_sample_2d(xg, pos[..., ::-1])  # (x, y) order for sampling
+        kv = kv.reshape(B, G, N, Cg).transpose(0, 2, 1, 3).reshape(B, N, C)
+        k = nn.Dense(C, name="proj_k")(kv)
+        v = nn.Dense(C, name="proj_v")(kv)
+
+        # --- streamed attention with rpe bias (TSA_deform_attn.py:245-330) ---
+        rpe = self.param(
+            "rpe_table",
+            trunc_normal_init(0.01),
+            (self.n_heads, 2 * H - 1, 2 * W - 1),
+        )
+        q = query.reshape(B, H * W, C)
+        out = streamed_deform_attention(
+            _split_heads(q, G, Hpg),
+            _split_heads(k, G, Hpg),
+            _split_heads(v, G, Hpg),
+            normalized_grid(H, W, q.dtype).reshape(H * W, 2),
+            pos.reshape(B, G, N, 2),
+            rpe.reshape(G, Hpg, 2 * H - 1, 2 * W - 1),
+            scale=ch**-0.5,
+            chunk=self.chunk,
+            dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
+            dropout_rng=(
+                self.make_rng("dropout")
+                if (self.attn_drop_rate > 0.0 and not deterministic)
+                else None
+            ),
+        )
+        out = _merge_heads(out).reshape(B, H, W, C)
+        out = nn.Dense(C, name="proj_out")(out)
+        out = nn.Dropout(self.proj_drop_rate, deterministic=deterministic)(out)
+        return out
+
+
+class SCADeformableAttention(nn.Module):
+    """Spatial cross-attention: BEV queries attend into camera views
+    (SCA_deform_attn.py:14-421).
+
+    For each view, a per-view offset head perturbs the precomputed voxel->pixel
+    reference points; K/V are bilinearly gathered from that view's feature map;
+    streamed attention with a continuous rpe bias produces per-view BEV
+    features, which are concatenated over views and fused by ``proj_out``
+    (SCA_deform_attn.py:415-420).
+    """
+
+    dim: int
+    n_heads: int
+    n_groups: int
+    bev_depth_dim: int
+    n_views: int = 3
+    scale_offset_range: bool = True
+    offset_range_factor: float = 5.0  # SCA_deform_attn.py:52-54
+    attn_drop_rate: float = 0.0
+    proj_drop_rate: float = 0.0
+    chunk: int = 512
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,  # (B, H, W, C)
+        img_feat: jax.Array,  # (B, V, Hi, Wi, C)
+        reference_points: jax.Array,  # (V, H//2, W*depth, 2) in (x, y)
+        deterministic: bool = True,
+    ) -> jax.Array:
+        B, H, W, C = query.shape
+        G = self.n_groups
+        Cg = C // G
+        Hpg = self.n_heads // G
+        ch = C // self.n_heads
+        d = self.bev_depth_dim
+        H2 = H // 2
+        N = H2 * W * d
+
+        qg = query.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4)
+        qg = qg.reshape(B * G, H, W, Cg)
+        q_flat = query.reshape(B, H * W, C)
+        q_pos = normalized_grid(H, W, query.dtype).reshape(H * W, 2)
+
+        rpe = self.param(
+            "rpe_table",
+            trunc_normal_init(0.01),
+            (self.n_heads, 2 * H - 1, 2 * W * d - 1),
+        )
+        rpe = rpe.reshape(G, Hpg, 2 * H - 1, 2 * W * d - 1)
+
+        # K/V projections are shared across views (SCA_deform_attn.py:126-139,
+        # applied inside the view loop at :312-321).
+        proj_k = nn.Dense(C, name="proj_k")
+        proj_v = nn.Dense(C, name="proj_v")
+
+        view_outputs = []
+        for view in range(self.n_views):
+            # --- per-view offset head (cf. conv_offset_m{view},
+            # SCA_deform_attn.py:56-121; see module docstring for the
+            # shape-consistent redesign) ---
+            off = nn.Conv(
+                Cg * d,
+                (1, 1),
+                feature_group_count=Cg,
+                name=f"offset_expand_m{view}",
+            )(qg)
+            off = nn.LayerNorm(name=f"offset_norm_m{view}")(off)
+            off = nn.gelu(off)
+            off = nn.Conv(
+                2 * d,
+                (2, 1),
+                strides=(2, 1),
+                use_bias=False,
+                name=f"offset_proj_m{view}",
+            )(off)
+            # (B*G, H2, W, 2*d) -> (B*G, H2, W*d, 2), keys laid out (h, (w d))
+            # exactly as the reference grid (model/SCA.py:77-85).
+            off = off.reshape(B * G, H2, W, d, 2).reshape(B * G, H2, W * d, 2)
+
+            # reference points arrive in (x, y); offsets are (y, x) like the
+            # reference's grid convention (SCA_deform_attn.py:203-204).
+            ref = reference_points[view][..., ::-1]  # (H2, W*d, 2) (y, x)
+            if self.scale_offset_range:
+                off = _OffsetScale.apply(off, H2, W * d, self.offset_range_factor)
+                pos = off + ref[None]
+            else:
+                pos = jnp.clip(off + ref[None], -1.0, 1.0)
+
+            # --- K/V gather from this view (SCA_deform_attn.py:290-301) ---
+            feat = img_feat[:, view]  # (B, Hi, Wi, C)
+            Hi, Wi = feat.shape[1], feat.shape[2]
+            fg = feat.reshape(B, Hi, Wi, G, Cg).transpose(0, 3, 1, 2, 4)
+            fg = fg.reshape(B * G, Hi, Wi, Cg)
+            kv = grid_sample_2d(fg, pos[..., ::-1])
+            kv = kv.reshape(B, G, N, Cg).transpose(0, 2, 1, 3).reshape(B, N, C)
+            k = proj_k(kv)
+            v = proj_v(kv)
+
+            out = streamed_deform_attention(
+                _split_heads(q_flat, G, Hpg),
+                _split_heads(k, G, Hpg),
+                _split_heads(v, G, Hpg),
+                q_pos,
+                pos.reshape(B, G, N, 2),
+                rpe,
+                scale=ch**-0.5,
+                chunk=self.chunk,
+                dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
+                dropout_rng=(
+                    self.make_rng("dropout")
+                    if (self.attn_drop_rate > 0.0 and not deterministic)
+                    else None
+                ),
+            )
+            view_outputs.append(_merge_heads(out).reshape(B, H, W, C))
+
+        out = jnp.concatenate(view_outputs, axis=-1)  # (B, H, W, V*C)
+        out = nn.Dense(C, name="proj_out")(out)
+        out = nn.Dropout(self.proj_drop_rate, deterministic=deterministic)(out)
+        return out

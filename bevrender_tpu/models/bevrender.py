@@ -1,0 +1,210 @@
+"""Top-level BEVRender model (model/bevrender.py) and its user-facing wrapper.
+
+``BEVRenderNet`` is the flax module: learned BEV query embedding, recurrent
+history warm-up (one encoder pass per history frame under ``stop_gradient``
+and eval semantics — the reference wraps this in ``self.eval()`` +
+``torch.no_grad()``, bevrender.py:124-134), a final gradient-carrying encoder
+pass on the current frame, and the CNN render decoder.
+
+``BEVRenderModel`` is the convenience wrapper that owns the config, precomputes
+the per-stage voxel->camera reference points (host-side, baked as constants),
+and exposes ``init`` / ``apply`` plus a torch-layout adapter (the reference
+consumes (B, T, V, 3, H, W); internally everything is NHWC).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import FrozenDict
+
+from bevrender_tpu.config import Config, ModelConfig
+from bevrender_tpu.geometry.projection import (
+    default_camera_rig,
+    reference_points_all_types,
+)
+from bevrender_tpu.models.decoder import BEVImageRenderDecoder
+from bevrender_tpu.models.encoder import BEVEncoder
+from bevrender_tpu.models.layers import make_norm
+
+
+class BEVRenderNet(nn.Module):
+    cfg: ModelConfig
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jax.Array,  # (B, T, V, H, W, 3) — T-1 history + current
+        vehicle_pose: jax.Array,  # (B, T, 3) (x_pix, y_pix, heading)
+        vehicle_type: jax.Array,  # (B, 1) int
+        reference_points: Tuple[jax.Array, ...],  # per stage (types, V, h2, wd, 2)
+        train: bool = False,
+    ) -> jax.Array:
+        cfg = self.cfg
+        B, T = images.shape[0], images.shape[1]
+        H0 = W0 = cfg.bev_shapes[0]
+        C0 = cfg.embed_dims[0]
+
+        # learned BEV query (bevrender.py:81-84; uniform init per
+        # bevrender.py:171-172).
+        bev_embedding = self.param(
+            "bev_embedding",
+            lambda k, s: jax.random.uniform(k, s),
+            (H0 * W0, C0),
+        )
+        bev_query = jnp.broadcast_to(
+            bev_embedding.reshape(1, H0, W0, C0), (B, H0, W0, C0)
+        ).astype(images.dtype)
+
+        # vehicle type is constant within a batch (bevrender.py:123 uses
+        # element [0, 0]); select each stage's reference points for it.
+        vt = vehicle_type[0, 0].astype(jnp.int32)
+        ref_pts = tuple(jnp.take(rp, vt, axis=0) for rp in reference_points)
+
+        encoder = BEVEncoder(cfg, axis_name=self.axis_name, name="encoder")
+
+        # --- recurrent history warm-up (bevrender.py:179-221) ---
+        # Runs in eval semantics (deterministic, BN running stats, history
+        # alignment ON) with gradients cut, like eval()+no_grad upstream.
+        prev_bev = None
+        for t in range(T - 1):
+            prev_bev = encoder(
+                bev_query,
+                images[:, t],
+                prev_bev,
+                jax.lax.dynamic_slice_in_dim(vehicle_pose, t, 2, axis=1),
+                ref_pts,
+                train=False,
+                align_history=True,
+            )
+            prev_bev = jax.lax.stop_gradient(prev_bev)
+
+        # --- gradient-carrying pass on the current frame (bevrender.py:138-146)
+        # history alignment mirrors the reference's train/eval gating
+        # (encoder.py:366: warp only when not training).
+        bev = encoder(
+            bev_query,
+            images[:, -1],
+            prev_bev,
+            vehicle_pose[:, T - 2 : T],
+            ref_pts,
+            train=train,
+            align_history=not train,
+        )
+
+        norm = make_norm(cfg.norm, axis_name=self.axis_name if train else None)
+        out = BEVImageRenderDecoder(
+            bev_spatial_dim=cfg.bev_shapes[-1],
+            model_dim=cfg.embed_dims[-1],
+            hid_dim=cfg.decoder_hid_dim,
+            norm=norm,
+            name="decoder",
+        )(bev, train)
+        return out
+
+
+class BEVRenderModel:
+    """Config + geometry + flax module bundle.
+
+    The reference's ``BEVRender(config, logger, mode)`` constructor precomputes
+    voxel->camera reference points through ``BEV2CameraProjector``
+    (bevrender.py:30-41, SCA.py:38-40); here that happens once per distinct
+    stage BEV shape and the tables ride into jit as constants.
+    """
+
+    def __init__(self, config: Config, mode: str = "train"):
+        self.config = config
+        self.mode = mode
+        cfg = config.model
+
+        imu_to_rgb = cfg.imu_to_rgb
+        K = cfg.intrinsic_k
+        if imu_to_rgb is None or K is None:
+            # The published config is redacted (configuration/config.py:12-19);
+            # fall back to a synthetic surround rig so the model is usable
+            # out of the box.
+            imu_to_rgb, K = default_camera_rig(
+                n_views=cfg.num_views,
+                img_width=cfg.ori_img_width,
+                img_height=cfg.ori_img_height,
+            )
+        self.vehicle_types = sorted(imu_to_rgb.keys())
+
+        self.reference_points: Tuple[jax.Array, ...] = tuple(
+            jnp.asarray(
+                reference_points_all_types(
+                    imu_to_rgb=imu_to_rgb,
+                    K=K,
+                    vehicle_types=self.vehicle_types,
+                    bev_bound=cfg.bev_bound,
+                    bev_feat_shape=shape,
+                    bev_depth_dim=cfg.bev_depth_dim,
+                    z_shift=cfg.sample_z_shift,
+                    img_width=cfg.img_width,
+                    img_height=cfg.img_height,
+                    ori_img_width=cfg.ori_img_width,
+                    ori_img_height=cfg.ori_img_height,
+                    remove_ref_in_gray=cfg.remove_ref_in_gray,
+                    bound_check_img_paths=cfg.bound_check_img_paths,
+                )
+            )
+            for shape in cfg.bev_shapes[: cfg.n_stages]
+        )
+        self.net = BEVRenderNet(cfg, axis_name=config.train.data_axis
+                                if config.train.distributed else None)
+
+    # ------------------------------------------------------------------
+    def init(self, rng: jax.Array, sample_batch: Dict[str, jax.Array]):
+        return self.net.init(
+            rng,
+            sample_batch["camera"],
+            sample_batch["vehicle_pose"],
+            sample_batch["vehicle_type"],
+            self.reference_points,
+            train=False,
+        )
+
+    def apply(
+        self,
+        variables,
+        images: jax.Array,
+        vehicle_pose: jax.Array,
+        vehicle_type: jax.Array,
+        *,
+        train: bool = False,
+        rngs: Optional[Dict[str, jax.Array]] = None,
+        mutable=False,
+    ):
+        return self.net.apply(
+            variables,
+            images,
+            vehicle_pose,
+            vehicle_type,
+            self.reference_points,
+            train=train,
+            rngs=rngs,
+            mutable=mutable,
+        )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_torch_layout(images_nchw: jax.Array) -> jax.Array:
+        """(B, T, V, 3, H, W) -> (B, T, V, H, W, 3) — accept the reference's
+        input layout (bevrender.py:106)."""
+        return jnp.transpose(images_nchw, (0, 1, 2, 4, 5, 3))
+
+    @staticmethod
+    def to_torch_layout(render_nhwc: jax.Array) -> jax.Array:
+        """(B, H, W, 3) -> (B, 3, H, W) — the reference's output layout."""
+        return jnp.transpose(render_nhwc, (0, 3, 1, 2))
+
+    def param_count(self, variables) -> int:
+        return sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"])
+        )
