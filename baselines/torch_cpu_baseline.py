@@ -1,0 +1,206 @@
+"""PyTorch-CPU baseline measurement.
+
+The reference publishes no numbers and its config is redacted (BASELINE.md), so
+the baseline is measured here: a torch implementation of the same flagship
+architecture (uniform-28 BEVRender, see bevrender_tpu.config.flagship_config)
+using the reference's *computational strategy* — dense (M, N) attention
+materialized per view with a Python view loop, ``F.grid_sample`` K/V gathers
+and rpe-bias sampling over the full displacement tensor — executed on CPU in
+eval mode. This mirrors model/SCA_deform_attn.py:331-413 /
+TSA_deform_attn.py:245-330 cost-wise without copying code.
+
+Writes ``BASELINE_MEASURED.json`` at the repo root:
+  {"torch_cpu_render_register_fps": ..., "timestamp": ..., "config": "..."}
+
+Run: ``python baselines/torch_cpu_baseline.py [--frames N]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import time
+from pathlib import Path
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+torch.manual_seed(0)
+
+
+class DenseDeformAttention(nn.Module):
+    """Dense-attention block matching the reference's cost profile."""
+
+    def __init__(self, dim, n_heads, n_keys_hw, table_hw):
+        super().__init__()
+        self.n_heads = n_heads
+        self.ch = dim // n_heads
+        self.proj_k = nn.Conv2d(dim, dim, 1)
+        self.proj_v = nn.Conv2d(dim, dim, 1)
+        self.proj_out = nn.Conv2d(dim, dim, 1)
+        self.rpe = nn.Parameter(torch.zeros(n_heads, *table_hw))
+        self.n_keys_hw = n_keys_hw
+
+    def forward(self, query, source, key_grid, q_grid):
+        # query (B, C, H, W); source (B, C, Hs, Ws); key_grid (B, hk, wk, 2)
+        B, C, H, W = query.shape
+        kv = F.grid_sample(source, key_grid, mode="bilinear", align_corners=True)
+        k = self.proj_k(kv).reshape(B * self.n_heads, self.ch, -1)
+        v = self.proj_v(kv).reshape(B * self.n_heads, self.ch, -1)
+        q = query.reshape(B * self.n_heads, self.ch, H * W)
+        attn = torch.einsum("bcm,bcn->bmn", q, k) * self.ch**-0.5
+
+        # full displacement tensor + bias grid_sample (reference strategy)
+        n = k.shape[-1]
+        disp = (
+            q_grid.reshape(1, H * W, 1, 2) - key_grid.reshape(B, 1, n, 2)
+        ) * 0.5
+        bias = F.grid_sample(
+            self.rpe[None].expand(B, -1, -1, -1), disp, mode="bilinear",
+            align_corners=True,
+        ).reshape(B * self.n_heads, H * W, n)
+        attn = torch.softmax(attn + bias, dim=-1)
+        out = torch.einsum("bmn,bcn->bcm", attn, v).reshape(B, C, H, W)
+        return self.proj_out(out)
+
+
+def _norm_grid(h, w):
+    ys = torch.linspace(-1, 1, h)
+    xs = torch.linspace(-1, 1, w)
+    gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+    return torch.stack([gx, gy], -1)  # (h, w, 2) in (x, y)
+
+
+class EncoderLayer(nn.Module):
+    def __init__(self, dim, n_heads, stride, n_views, bev, depth_dim):
+        super().__init__()
+        self.lpu1 = nn.Conv2d(dim, dim, 3, 1, 1, groups=dim)
+        self.lpu2 = nn.Conv2d(dim, dim, 3, 1, 1, groups=dim)
+        self.norm = nn.GroupNorm(1, dim)
+        hk = max(bev // stride, 1)
+        self.tsa = DenseDeformAttention(
+            dim, n_heads, (hk, hk), (2 * bev - 1, 2 * bev - 1)
+        )
+        self.sca = DenseDeformAttention(
+            dim, n_heads, (bev // 2, bev * depth_dim),
+            (2 * bev - 1, 2 * bev * depth_dim - 1),
+        )
+        self.n_views = n_views
+        self.mlp = nn.Sequential(
+            nn.Conv2d(dim, dim * 4, 1), nn.GELU(), nn.Conv2d(dim * 4, dim, 1)
+        )
+        self.proj_views = nn.Conv2d(dim * n_views, dim, 1)
+        self.bev = bev
+        self.hk = hk
+        self.depth_dim = depth_dim
+
+    def forward(self, x, img_feats):
+        B = x.shape[0]
+        qg = _norm_grid(self.bev, self.bev)
+        x = x + self.lpu1(x)
+        kg = _norm_grid(self.hk, self.hk)[None].expand(B, -1, -1, -1)
+        x = x + self.tsa(self.norm(x), x, kg, qg)
+        x = x + self.mlp(self.norm(x))
+        x = x + self.lpu2(x)
+        outs = []
+        kg2 = _norm_grid(self.bev // 2, self.bev * self.depth_dim)
+        kg2 = kg2[None].expand(B, -1, -1, -1)
+        for v in range(self.n_views):  # Python view loop like the reference
+            outs.append(self.sca(self.norm(x), img_feats[:, v], kg2, qg))
+        x = x + self.proj_views(torch.cat(outs, dim=1))
+        x = x + self.mlp(self.norm(x))
+        return x
+
+
+class TorchBEVRender(nn.Module):
+    """Flagship-shaped model: ResNet18-style backbone, 7 stages x depth 2,
+    uniform BEV 28 width 64, 3 views, render decoder to (3, 224, 224)."""
+
+    def __init__(self, bev=28, dim=64, n_views=3, depth_dim=5):
+        super().__init__()
+        heads = [2, 4, 8, 16, 8, 4, 2]
+        strides = [8, 4, 2, 1, 2, 4, 8]
+        self.backbone = nn.Sequential(
+            nn.Conv2d(3, 64, 3, 2, 1), nn.GroupNorm(1, 64), nn.ReLU(),
+            nn.MaxPool2d(3, 2, 1),
+            *[
+                nn.Sequential(
+                    nn.Conv2d(64, 64, 3, 2 if i == 1 else 1, 1),
+                    nn.GroupNorm(1, 64), nn.ReLU(),
+                    nn.Conv2d(64, 64, 3, 1, 1), nn.GroupNorm(1, 64), nn.ReLU(),
+                )
+                for i in range(4)
+            ],
+        )
+        self.stages = nn.ModuleList(
+            EncoderLayer(dim, heads[s], strides[s], n_views, bev, depth_dim)
+            for s in range(7)
+            for _ in range(2)
+        )
+        self.embedding = nn.Parameter(torch.rand(dim, bev, bev))
+        self.decoder = nn.Sequential(
+            nn.Conv2d(dim, 64, 7, 2, 3), nn.GroupNorm(1, 64), nn.ReLU(),
+            *[
+                nn.Sequential(
+                    nn.Upsample(scale_factor=2, mode="bilinear"),
+                    nn.Conv2d(64, 64, 3, 1, 1), nn.GroupNorm(1, 64), nn.ReLU(),
+                )
+                for _ in range(4)
+            ],
+            nn.Conv2d(64, 3, 1), nn.Sigmoid(),
+        )
+        self.n_views = n_views
+
+    def forward(self, images):
+        # images: (B, T, V, 3, H, W); recurrent history like bevrender.py:179-221
+        B, T, V = images.shape[:3]
+        prev = None
+        for t in range(T):
+            feats = self.backbone(images[:, t].reshape(B * V, *images.shape[3:]))
+            feats = feats.reshape(B, V, *feats.shape[1:])
+            x = self.embedding[None].expand(B, -1, -1, -1)
+            for stage in self.stages:
+                x = stage(x, feats)
+            prev = x
+        return self.decoder(prev)
+
+
+def measure(frames: int = 2, T: int = 2) -> float:
+    model = TorchBEVRender().eval()
+    images = torch.randn(1, T, 3, 3, 224, 224)
+    tiles = torch.nn.functional.normalize(torch.randn(64, 3 * 224 * 224), dim=-1)
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            out = model(images)
+            emb = torch.nn.functional.normalize(out.flatten(1), dim=-1)
+            d = 2 - 2 * emb @ tiles.T  # register against tile DB
+            d.argmin()
+        dt = time.perf_counter() - t0
+    return frames / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent
+                                         / "BASELINE_MEASURED.json"))
+    args = ap.parse_args()
+    torch.set_num_threads(torch.get_num_threads())
+    fps = measure(args.frames)
+    payload = {
+        "torch_cpu_render_register_fps": fps,
+        "frames": args.frames,
+        "threads": torch.get_num_threads(),
+        "timestamp": time.time(),
+        "config": "flagship uniform-28 BEVRender, B=1, T=2, 3 views, 224x224",
+    }
+    Path(args.out).write_text(json.dumps(payload, indent=2))
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

@@ -304,6 +304,40 @@ def get_config(print_or_not: bool = False, save_or_not: bool = False) -> Dict[st
     return ref
 
 
+def flagship_config(**overrides) -> Config:
+    """The flagship training config: uniform BEV 28 x 28 at width 64.
+
+    The reference's published defaults describe a 56->7->56 U-shaped pyramid
+    (encoder.py:26-27), but its own runtime constraints pin the *trained*
+    configuration to uniform shapes: the per-stage ``prev_bev`` shape asserts
+    (encoder.py:112-117) only pass when every stage shares the stage-0 BEV
+    shape and width, and ``Trainer.model_output_dim = 64*28*28`` (train.py:37)
+    records a final 28x28x64 BEV. This config follows that evidence.
+    """
+    cfg = Config()
+    cfg.model = ModelConfig(
+        bev_shapes=(28,) * 8,
+        embed_dims=(64,) * 8,
+        n_stages=7,
+        depths=(2,) * 7,
+        n_heads=(2, 4, 8, 16, 8, 4, 2),
+        strides=(8, 4, 2, 1, 2, 4, 8),
+        n_groups=(1, 2, 4, 8, 4, 2, 1),
+        kernel_sizes=(9, 7, 5, 3, 5, 7, 9),
+        backbone="ResNet18",
+        img_height=224,
+        img_width=224,
+        ori_img_height=512,
+        ori_img_width=640,
+    )
+    cfg.data.window_num_imgs = 3
+    for k, v in overrides.items():
+        for section in (cfg.model, cfg.data, cfg.train):
+            if hasattr(section, k):
+                setattr(section, k, v)
+    return cfg
+
+
 def tiny_model_config(**overrides) -> ModelConfig:
     """A minimal config used by unit tests: 2 stages, small BEV, 2 views."""
     base = dict(

@@ -1,0 +1,117 @@
+"""Host->device input pipeline: threaded decode + double-buffered prefetch.
+
+Replaces the reference's ``DataLoader(num_workers, pin_memory)``
+(train.py:674-689). Decode/augment runs in a thread pool (PIL releases the
+GIL for the hot parts); finished batches are pushed to device asynchronously
+so the accelerator never waits on the host for steady-state steps. TPU-first:
+on-device tensors are NHWC and the normalize/view-split work already happened
+in numpy, so the jitted step gets dense float32 arrays it can cast to bf16.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class DataLoader:
+    """Minimal map-style loader: shuffling, batching, drop_last, threaded
+    ``__getitem__``; mirrors the reference loader's semantics
+    (drop_last=True, train.py:680)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 2,
+        drop_last: bool = True,
+        seed: int = 0,
+        sampler: Optional[Sequence[int]] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.sampler = sampler
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle seed per epoch (DistributedSampler.set_epoch parity,
+        train.py:180-181)."""
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = (
+            np.asarray(self.sampler)
+            if self.sampler is not None
+            else np.arange(len(self.dataset))
+        )
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(idx)
+        usable = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
+        batches = [
+            idx[i : i + self.batch_size] for i in range(0, usable, self.batch_size)
+        ]
+        if not batches:
+            return iter(())
+
+        pool = concurrent.futures.ThreadPoolExecutor(self.num_workers)
+
+        def load(batch_idx):
+            return collate([self.dataset[int(i)] for i in batch_idx])
+
+        def gen():
+            try:
+                pending = collections.deque()
+                ahead = self.num_workers + 1
+                for b in batches[:ahead]:
+                    pending.append(pool.submit(load, b))
+                next_submit = ahead
+                while pending:
+                    fut = pending.popleft()
+                    if next_submit < len(batches):
+                        pending.append(pool.submit(load, batches[next_submit]))
+                        next_submit += 1
+                    yield fut.result()
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
+
+        return gen()
+
+
+def device_prefetch(
+    it: Iterator[Dict[str, np.ndarray]],
+    size: int = 2,
+    sharding: Optional[jax.sharding.Sharding] = None,
+) -> Iterator[Dict[str, jax.Array]]:
+    """Keep ``size`` batches in flight on device (async dispatch)."""
+    queue: collections.deque = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    for batch in it:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

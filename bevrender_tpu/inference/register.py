@@ -1,0 +1,143 @@
+"""Render + register: the inference entry point the reference never shipped.
+
+The reference implies inference (``mode="inference"`` windows, dataset.py:118-119;
+batch-1 model mode, bevrender.py:19; the saved ``inference_dataset.pth`` split,
+train.py:801-804) but has no ``infer()``/``serve()`` function (SURVEY 3.5).
+This module provides the end-to-end loop the north-star metric measures:
+render an aerial view from surround cameras, correlate it against a database
+of geo-registered aerial map tiles, and retrieve the pose (recall@K).
+
+Everything device-side is one jitted function per stage; the tile database
+stays resident in HBM as a single (N, D) matrix so each query is one matmul
+on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevrender_tpu.config import Config
+from bevrender_tpu.losses.recall import recall_at_k
+from bevrender_tpu.models.bevrender import BEVRenderModel
+
+
+def _l2n(x: jax.Array) -> jax.Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+class RegistrationPipeline:
+    """Load a trained BEVRender, embed map tiles, register camera windows."""
+
+    def __init__(
+        self,
+        config: Config,
+        variables,
+        embed_fn=None,
+    ):
+        self.config = config
+        self.model = BEVRenderModel(config, mode="inference")
+        self.variables = variables
+        self.embed_fn = embed_fn or (lambda out: out.reshape(out.shape[0], -1))
+
+        def render(variables, camera, pose, vtype):
+            return self.model.apply(variables, camera, pose, vtype, train=False)
+
+        self._render = jax.jit(render)
+
+        def embed_render(variables, camera, pose, vtype):
+            out = render(variables, camera, pose, vtype)
+            return out, _l2n(self.embed_fn(out))
+
+        self._embed_render = jax.jit(embed_render)
+        self._tile_db: Optional[jax.Array] = None
+
+        def match(query_emb, db):
+            # distance 2 - 2 s (train.py:554 convention); top-k by similarity
+            sims = query_emb @ db.T
+            dist = 2.0 - 2.0 * sims
+            idx = jnp.argsort(dist, axis=-1)
+            return idx, jnp.take_along_axis(dist, idx, axis=-1)
+
+        self._match = jax.jit(match)
+
+    @classmethod
+    def from_checkpoint(cls, config: Config, ckpt_path: str, sample_batch,
+                        embed_fn=None) -> "RegistrationPipeline":
+        from bevrender_tpu.training.checkpoint import restore_model
+
+        model = BEVRenderModel(config, mode="inference")
+        variables = model.init(jax.random.PRNGKey(0), sample_batch)
+        restored = restore_model(
+            ckpt_path,
+            {
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+                "opt_state": None,
+            },
+        )
+        out_vars = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            out_vars["batch_stats"] = restored["batch_stats"]
+        return cls(config, out_vars, embed_fn)
+
+    # ------------------------------------------------------------------
+    def render(self, batch: Dict[str, jax.Array]) -> jax.Array:
+        """(B, T, V, H, W, 3) camera window -> (B, 224, 224, 3) aerial render."""
+        return self._render(
+            self.variables, batch["camera"], batch["vehicle_pose"],
+            batch["vehicle_type"],
+        )
+
+    def build_tile_database(self, tiles: Iterable[np.ndarray]) -> jax.Array:
+        """Embed geo-registered aerial tiles -> (N, D) resident matrix.
+
+        Tiles are embedded with the same flatten+normalize as the render
+        (symmetric, since the reference's map encoder is identity —
+        train.py:207-211 with ``map_encoder=None``).
+        """
+        embs = []
+        for tile in tiles:
+            t = jnp.asarray(tile)[None]  # (1, H, W, 3)
+            embs.append(_l2n(self.embed_fn(t)))
+        self._tile_db = jnp.concatenate(embs, axis=0)
+        return self._tile_db
+
+    def register(
+        self, batch: Dict[str, jax.Array], top_k: int = 10
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Render + correlate against the tile database.
+
+        Returns (rendered, top_k tile indices, top_k distances).
+        """
+        if self._tile_db is None:
+            raise RuntimeError("call build_tile_database first")
+        rendered, emb = self._embed_render(
+            self.variables, batch["camera"], batch["vehicle_pose"],
+            batch["vehicle_type"],
+        )
+        idx, dist = self._match(emb, self._tile_db)
+        return rendered, idx[:, :top_k], dist[:, :top_k]
+
+    # ------------------------------------------------------------------
+    def evaluate_recall(self, dataset, batch_size: int = 1) -> Dict[str, float]:
+        """Paired recall@1/5/10 over a dataset of (camera window, map tile)."""
+        from bevrender_tpu.data.prefetch import DataLoader, device_prefetch
+
+        cams, maps = [], []
+        loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False)
+        for batch in device_prefetch(iter(loader)):
+            _, emb = self._embed_render(
+                self.variables, batch["camera"], batch["vehicle_pose"],
+                batch["vehicle_type"],
+            )
+            cams.append(np.asarray(emb))
+            tile = batch["map"].reshape(batch["map"].shape[0], -1)
+            maps.append(np.asarray(_l2n(tile)))
+        cam = jnp.asarray(np.concatenate(cams))
+        map_ = jnp.asarray(np.concatenate(maps))
+        r1, r5, r10 = recall_at_k(cam, map_, (1, 5, 10))
+        return {"R@1": float(r1), "R@5": float(r5), "R@10": float(r10)}

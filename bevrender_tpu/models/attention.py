@@ -33,6 +33,12 @@ from flax import linen as nn
 from bevrender_tpu.models.layers import trunc_normal_init
 from bevrender_tpu.ops.deform_attn import streamed_deform_attention
 from bevrender_tpu.ops.grid_sample import grid_sample_2d, normalized_grid
+from bevrender_tpu.parallel.annotate import hint
+
+
+def _shard_heads(x: jax.Array) -> jax.Array:
+    """TP hint: (B, G, Hpg, M, ch) with heads-per-group over the model axis."""
+    return hint(x, "data", None, "model", None, None)
 
 
 def _split_heads(x: jax.Array, n_groups: int, heads_per_group: int) -> jax.Array:
@@ -97,6 +103,8 @@ class TSADeformableAttention(nn.Module):
         # --- offsets from grouped query (TSA_deform_attn.py:54-68,158-174) ---
         qg = query.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4)
         qg = qg.reshape(B * G, H, W, Cg)
+        # grouped/depthwise offset convs cannot be channel-sharded by GSPMD
+        qg = hint(qg, "data", None, None, None)
         pad = self.kernel_size // 2 if self.kernel_size != self.stride else 0
         off = nn.Conv(
             Cg,
@@ -135,9 +143,9 @@ class TSADeformableAttention(nn.Module):
         )
         q = query.reshape(B, H * W, C)
         out = streamed_deform_attention(
-            _split_heads(q, G, Hpg),
-            _split_heads(k, G, Hpg),
-            _split_heads(v, G, Hpg),
+            _shard_heads(_split_heads(q, G, Hpg)),
+            _shard_heads(_split_heads(k, G, Hpg)),
+            _shard_heads(_split_heads(v, G, Hpg)),
             normalized_grid(H, W, q.dtype).reshape(H * W, 2),
             pos.reshape(B, G, N, 2),
             rpe.reshape(G, Hpg, 2 * H - 1, 2 * W - 1),
@@ -197,6 +205,8 @@ class SCADeformableAttention(nn.Module):
 
         qg = query.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4)
         qg = qg.reshape(B * G, H, W, Cg)
+        # grouped/depthwise offset convs cannot be channel-sharded by GSPMD
+        qg = hint(qg, "data", None, None, None)
         q_flat = query.reshape(B, H * W, C)
         q_pos = normalized_grid(H, W, query.dtype).reshape(H * W, 2)
 
@@ -256,9 +266,9 @@ class SCADeformableAttention(nn.Module):
             v = proj_v(kv)
 
             out = streamed_deform_attention(
-                _split_heads(q_flat, G, Hpg),
-                _split_heads(k, G, Hpg),
-                _split_heads(v, G, Hpg),
+                _shard_heads(_split_heads(q_flat, G, Hpg)),
+                _shard_heads(_split_heads(k, G, Hpg)),
+                _shard_heads(_split_heads(v, G, Hpg)),
                 q_pos,
                 pos.reshape(B, G, N, 2),
                 rpe,

@@ -156,18 +156,28 @@ class BEVRenderModel:
             )
             for shape in cfg.bev_shapes[: cfg.n_stages]
         )
-        self.net = BEVRenderNet(cfg, axis_name=config.train.data_axis
-                                if config.train.distributed else None)
+        # axis_name stays None: under jit+GSPMD a mean over the (sharded)
+        # batch axis is already a global reduction, so BatchNorm is
+        # cross-replica ("SyncBN", train.py:129-137) without any named axis;
+        # axis_name would only be needed under pmap/shard_map.
+        self.net = BEVRenderNet(cfg, axis_name=None)
 
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array, sample_batch: Dict[str, jax.Array]):
-        return self.net.init(
+        """Jitted init — eager flax init would dispatch every op singly, which
+        is pathologically slow on this host and over the TPU tunnel."""
+
+        @functools.partial(jax.jit)
+        def _init(rng, camera, pose, vtype):
+            return self.net.init(
+                rng, camera, pose, vtype, self.reference_points, train=False
+            )
+
+        return _init(
             rng,
             sample_batch["camera"],
             sample_batch["vehicle_pose"],
             sample_batch["vehicle_type"],
-            self.reference_points,
-            train=False,
         )
 
     def apply(

@@ -42,6 +42,7 @@ from bevrender_tpu.geometry.ego_motion import project_history_bev
 from bevrender_tpu.models.attention import SCADeformableAttention, TSADeformableAttention
 from bevrender_tpu.models.backbone import build_backbone
 from bevrender_tpu.models.layers import ConvMLP, DropPath, make_norm
+from bevrender_tpu.parallel.annotate import hint
 
 
 class EncoderLayer(nn.Module):
@@ -79,6 +80,9 @@ class EncoderLayer(nn.Module):
             prev_bev = project_history_bev(prev_bev, vehicle_pose)
 
         x = bev_query
+        # BEV maps stay data-sharded only: the depthwise LPU convs below
+        # cannot be channel-partitioned by GSPMD
+        x = hint(x, "data", None, None, None)
         x = x + nn.Conv(
             self.dim, (3, 3), padding=((1, 1), (1, 1)),
             feature_group_count=self.dim, name="tsa_lpu",

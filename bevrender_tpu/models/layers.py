@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from bevrender_tpu.parallel.annotate import hint
+
 
 class LayerNorm2d(nn.Module):
     """LayerNorm over the channel (last) axis of an NHWC tensor."""
@@ -107,11 +109,15 @@ class ConvMLP(nn.Module):
         hidden = self.dim * self.expansion
         x = nn.Conv(hidden, (1, 1), name="linear1")(x)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        # depthwise conv: keep channels unsharded (GSPMD cannot split
+        # feature_group_count); TP picks up after it
+        x = hint(x, "data", None, None, None)
         x = x + nn.Conv(
             hidden, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=hidden,
             name="dwc",
         )(x)
         x = nn.gelu(x)
+        x = hint(x, "data", None, None, "model")  # TP over MLP hidden channels
         x = nn.Conv(self.dim, (1, 1), name="linear2")(x)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
         return x

@@ -1,0 +1,160 @@
+"""Data pipeline tests: CSV -> records -> sequences -> windows -> samples."""
+
+import numpy as np
+import pytest
+
+from bevrender_tpu.data.dataset import GPSDeniedDataset, SyntheticDataset
+from bevrender_tpu.data.prefetch import DataLoader, collate, device_prefetch
+from bevrender_tpu.data.processor import (
+    DatasetProcessor,
+    pixel_from_utm,
+)
+
+
+def _write_trace(tmp_path, n=30, dt_us=250_000, gap_at=None):
+    """CSV: ts, vehicle_type, utm_e, utm_n, utm_h, roll, pitch, yaw."""
+    rows = []
+    ts = 1_000_000_000.0
+    for i in range(n):
+        if gap_at is not None and i == gap_at:
+            ts += 5e6  # > 1 s gap
+        rows.append([ts, 0, 500.0 + i, 400.0 + i, -10.0, 0.0, 0.0, 0.1 * i])
+        ts += dt_us
+    path = tmp_path / "gps.csv"
+    np.savetxt(path, np.asarray(rows), delimiter=",")
+    return str(path)
+
+
+def _processor(tmp_path, **kw):
+    defaults = dict(
+        gps_file_path=_write_trace(tmp_path, **kw.pop("trace", {})),
+        rgb_img_dir=str(tmp_path / "rgb"),
+        map_img_dir=str(tmp_path / "map"),
+        jgw_info=(1.0, 0.0, 0.0, -1.0, 0.0, 1000.0),
+        map_width=1200,
+        map_height=1200,
+        window_timespin=1_000_000.0,
+        window_num_imgs=2,
+    )
+    defaults.update(kw)
+    return DatasetProcessor(**defaults)
+
+
+class TestJGW:
+    def test_identityish_affine(self):
+        # world = [[1,0],[0,-1]] @ pixel + (0, 1000): pixel_x = easting,
+        # pixel_y = 1000 - northing
+        px, py = pixel_from_utm(400.0, 500.0, (1.0, 0.0, 0.0, -1.0, 0.0, 1000.0))
+        assert (px, py) == (500.0, 600.0)
+
+    def test_rotated_affine_roundtrip(self):
+        a, d, b, e, c, f = 0.8, 0.6, -0.6, 0.8, 100.0, 200.0
+        px, py = 12.0, 34.0
+        easting = a * px + b * py + c
+        northing = d * px + e * py + f
+        gx, gy = pixel_from_utm(northing, easting, (a, d, b, e, c, f))
+        np.testing.assert_allclose([gx, gy], [px, py], atol=1e-9)
+
+
+class TestProcessor:
+    def test_records_and_sequence_split(self, tmp_path):
+        proc = _processor(tmp_path, trace=dict(n=20, gap_at=12))
+        records = proc.get_full_datalist()
+        assert len(records) == 20 and len(records[0]) == 12
+        seqs = proc.split_sequence(records)
+        assert [len(s) for s in seqs] == [12, 8]
+
+    def test_windows_nonoverlap(self, tmp_path):
+        proc = _processor(tmp_path, trace=dict(n=20))
+        windows = proc.process_windows()
+        # 250 ms spacing, 1 s span -> 5 frames per window; > 2 required
+        assert all(len(w) > 2 for w in windows)
+        # non-overlapping: consecutive windows share no frames
+        flat = [id(fr) for w in windows for fr in w]
+        assert len(flat) == len(set(flat))
+
+    def test_windows_overlap_slide(self, tmp_path):
+        proc = _processor(tmp_path, overlap=True, trace=dict(n=20))
+        windows = proc.process_windows()
+        non = _processor(tmp_path, trace=dict(n=20)).process_windows()
+        assert len(windows) > len(non)
+
+    def test_val_split_removes_frames(self, tmp_path):
+        import random
+
+        proc = _processor(tmp_path, trace=dict(n=30))
+        seqs = proc.split_sequence(proc.get_full_datalist())
+        total = sum(len(s) for s in seqs)
+        val, remaining = proc.get_val_datalist(seqs, 0.5, random.Random(0))
+        left = sum(len(s) for s in remaining)
+        val_frames = sum(len(w) for w in val)
+        assert val_frames + left == total  # dataprocessor.py:226 invariant
+
+
+class TestDataset:
+    def _make_images(self, tmp_path, proc):
+        from PIL import Image
+
+        (tmp_path / "rgb").mkdir(exist_ok=True)
+        (tmp_path / "map").mkdir(exist_ok=True)
+        for rec in proc.get_full_datalist():
+            ts = int(rec[0])
+            rng = np.random.default_rng(ts % 1000)
+            wide = (rng.uniform(0, 255, (16, 48, 3))).astype(np.uint8)
+            Image.fromarray(wide).save(tmp_path / "rgb" / f"{ts}.png")
+            tile = (rng.uniform(0, 255, (16, 16, 3))).astype(np.uint8)
+            Image.fromarray(tile).save(tmp_path / "map" / f"{ts}.png")
+
+    def test_getitem_contract(self, tmp_path):
+        proc = _processor(tmp_path, trace=dict(n=20))
+        self._make_images(tmp_path, proc)
+        ds = GPSDeniedDataset(
+            proc.process_windows(),
+            num_views=3,
+            window_num_imgs=2,
+            resize_cmr_img=True,
+            resize_img_height=16,
+            resize_img_width=48,
+        )
+        s = ds[0]
+        assert s["camera"].shape == (3, 3, 16, 16, 3)  # (T, V, H, W, C)
+        assert s["map"].shape == (16, 16, 3)
+        assert s["vehicle_pose"].shape == (3, 3)
+        assert s["vehicle_type"].shape == (1,)
+        assert 0.0 <= s["map"].min() and s["map"].max() <= 1.0
+
+    def test_history_subsample_keeps_last(self, tmp_path):
+        proc = _processor(tmp_path, trace=dict(n=20))
+        self._make_images(tmp_path, proc)
+        windows = proc.process_windows()
+        ds = GPSDeniedDataset(
+            windows, num_views=3, window_num_imgs=2, resize_cmr_img=True,
+            resize_img_height=16, resize_img_width=48,
+        )
+        s = ds[0]
+        # current frame is always the window's last (dataset.py:114-117)
+        assert int(s["timestamp"]) == int(windows[0][-1][0])
+
+
+class TestLoader:
+    def test_batching_and_prefetch(self):
+        ds = SyntheticDataset(n_items=10, num_views=2, window_num_imgs=1,
+                              img_height=8, img_width=8, map_tile=8)
+        loader = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True)
+        batches = list(device_prefetch(iter(loader)))
+        assert len(batches) == 2  # drop_last
+        assert batches[0]["camera"].shape == (4, 2, 2, 8, 8, 3)
+
+    def test_set_epoch_reshuffles(self):
+        ds = SyntheticDataset(n_items=16, img_height=4, img_width=4, map_tile=4)
+        loader = DataLoader(ds, batch_size=4, shuffle=True, seed=1)
+        loader.set_epoch(0)
+        a = [b["timestamp"].tolist() for b in loader]
+        loader.set_epoch(1)
+        b = [b["timestamp"].tolist() for b in loader]
+        assert a != b
+
+    def test_sampler_subset(self):
+        ds = SyntheticDataset(n_items=12, img_height=4, img_width=4, map_tile=4)
+        loader = DataLoader(ds, batch_size=2, sampler=np.arange(6))
+        assert len(loader) == 3

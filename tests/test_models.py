@@ -1,0 +1,159 @@
+"""Model tests: attention math parity, module shapes, end-to-end forward."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bevrender_tpu.config import Config, tiny_model_config
+from bevrender_tpu.data.dataset import SyntheticDataset
+from bevrender_tpu.data.prefetch import collate
+from bevrender_tpu.models.attention import (
+    SCADeformableAttention,
+    TSADeformableAttention,
+    _merge_heads,
+    _split_heads,
+)
+from bevrender_tpu.models.backbone import PatchProjection, ResNet18WoFPN, ResnetFPN
+from bevrender_tpu.models.decoder import BEVImageRenderDecoder
+from bevrender_tpu.models.layers import make_norm
+from bevrender_tpu.ops.deform_attn import (
+    dense_deform_attention_reference,
+    streamed_deform_attention,
+)
+
+
+def _r(seed, shape):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+    )
+
+
+class TestStreamedAttention:
+    def test_matches_dense_reference(self):
+        B, G, Hpg, M, N, ch = 2, 2, 2, 24, 10, 4
+        q = _r(0, (B, G, Hpg, M, ch))
+        k = _r(1, (B, G, Hpg, N, ch))
+        v = _r(2, (B, G, Hpg, N, ch))
+        q_pos = jnp.tanh(_r(3, (M, 2)))
+        k_pos = jnp.tanh(_r(4, (B, G, N, 2)))
+        table = _r(5, (G, Hpg, 9, 9)) * 0.1
+        dense = dense_deform_attention_reference(
+            q, k, v, q_pos, k_pos, table, scale=0.5
+        )
+        for chunk in (5, 8, 24):
+            streamed = streamed_deform_attention(
+                q, k, v, q_pos, k_pos, table, scale=0.5, chunk=chunk
+            )
+            np.testing.assert_allclose(
+                np.asarray(streamed), np.asarray(dense), rtol=2e-5, atol=2e-5
+            )
+
+    def test_bias_matters(self):
+        """The rpe bias must influence the output (it rides inside softmax)."""
+        B, G, Hpg, M, N, ch = 1, 1, 2, 8, 6, 4
+        args = (
+            _r(0, (B, G, Hpg, M, ch)),
+            _r(1, (B, G, Hpg, N, ch)),
+            _r(2, (B, G, Hpg, N, ch)),
+            jnp.tanh(_r(3, (M, 2))),
+            jnp.tanh(_r(4, (B, G, N, 2))),
+        )
+        zero = streamed_deform_attention(
+            *args, jnp.zeros((G, Hpg, 5, 5)), scale=1.0, chunk=4
+        )
+        biased = streamed_deform_attention(
+            *args, 5.0 * jnp.ones((G, Hpg, 5, 5)) * _r(6, (G, Hpg, 5, 5)),
+            scale=1.0, chunk=4,
+        )
+        assert float(jnp.abs(zero - biased).max()) > 1e-4
+
+    def test_head_split_roundtrip(self):
+        x = _r(7, (3, 12, 16))
+        assert np.allclose(
+            np.asarray(_merge_heads(_split_heads(x, 2, 4))), np.asarray(x)
+        )
+
+
+class TestAttentionModules:
+    def test_tsa_degenerate_self_attention(self):
+        """prev_bev=None must equal passing the query itself
+        (TSA_deform_attn.py:141-143)."""
+        mod = TSADeformableAttention(dim=8, n_heads=2, n_groups=1, stride=2,
+                                     kernel_size=3, chunk=16)
+        q = _r(8, (2, 8, 8, 8))
+        var = mod.init(jax.random.PRNGKey(0), q, None)
+        a = mod.apply(var, q, None)
+        b = mod.apply(var, q, q)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_sca_shapes_and_view_sensitivity(self):
+        V, H, C, d = 2, 8, 8, 2
+        mod = SCADeformableAttention(dim=C, n_heads=2, n_groups=1,
+                                     bev_depth_dim=d, n_views=V, chunk=16)
+        q = _r(9, (1, H, H, C))
+        feat = _r(10, (1, V, 16, 16, C))
+        ref = jnp.tanh(_r(11, (V, H // 2, H * d, 2)))
+        var = mod.init(jax.random.PRNGKey(0), q, feat, ref)
+        out = mod.apply(var, q, feat, ref)
+        assert out.shape == (1, H, H, C)
+        # swapping view features changes the output (views are distinct heads)
+        out2 = mod.apply(var, q, feat[:, ::-1], ref)
+        assert float(jnp.abs(out - out2).max()) > 1e-6
+
+
+class TestBackbones:
+    def test_patch_projection_scale(self):
+        m = PatchProjection(embed_dim=8, patch_size=4)
+        x = _r(12, (2, 32, 32, 3))
+        var = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(var, x).shape == (2, 8, 8, 8)
+
+    def test_resnet18_wo_fpn_56(self):
+        norm = make_norm("group")
+        m = ResNet18WoFPN(bev_dim=56, norm=norm)
+        x = _r(13, (1, 64, 64, 3))
+        var = m.init(jax.random.PRNGKey(0), x)
+        # /4 with all-unit strides, constant 64 channels
+        assert m.apply(var, x).shape == (1, 16, 16, 64)
+
+    def test_resnet_fpn_pyramid(self):
+        norm = make_norm("group")
+        m = ResnetFPN(resnet_arch="18", norm=norm)
+        x = _r(14, (1, 64, 64, 3))
+        var = m.init(jax.random.PRNGKey(0), x)
+        p2, p3, p4, p5 = m.apply(var, x)
+        assert p2.shape[1:] == (16, 16, 64)
+        assert p5.shape[1:] == (2, 2, 512)
+
+
+class TestDecoder:
+    @pytest.mark.parametrize("bev,ups", [(56, 2), (28, 3), (14, 4)])
+    def test_output_is_224(self, bev, ups):
+        norm = make_norm("group")
+        m = BEVImageRenderDecoder(bev_spatial_dim=bev, model_dim=16, hid_dim=16,
+                                  norm=norm)
+        x = _r(15, (1, bev, bev, 16))
+        var = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(var, x)
+        assert out.shape == (1, 224, 224, 3)
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0  # sigmoid
+
+
+class TestBEVRenderEndToEnd:
+    def test_forward_and_grad(self):
+        from bevrender_tpu.models.bevrender import BEVRenderModel
+
+        cfg = Config()
+        cfg.model = tiny_model_config()
+        cfg.data.window_num_imgs = 2
+        ds = SyntheticDataset(n_items=2, num_views=2, window_num_imgs=2,
+                              img_height=32, img_width=32, map_tile=32)
+        batch = collate([ds[0], ds[1]])
+        model = BEVRenderModel(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        out = jax.jit(
+            lambda v, c, p, t: model.apply(v, c, p, t, train=False)
+        )(variables, batch["camera"], batch["vehicle_pose"], batch["vehicle_type"])
+        assert out.shape == (2, 32, 32, 3)
+        assert bool(jnp.isfinite(out).all())

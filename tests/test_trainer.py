@@ -1,0 +1,114 @@
+"""Trainer tests on the tiny model + synthetic data (CPU, 8 virtual devices)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bevrender_tpu.config import Config, tiny_model_config
+from bevrender_tpu.data.dataset import SyntheticDataset
+from bevrender_tpu.data.prefetch import collate
+from bevrender_tpu.models.bevrender import BEVRenderModel
+from bevrender_tpu.training.schedule import warmup_cosine_lambda
+from bevrender_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config()
+    cfg.model = tiny_model_config()
+    cfg.data.window_num_imgs = 2
+    cfg.train.batch_size = 2
+    cfg.train.loss_type = "MSE_CONTRASTIVE"
+    cfg.train.k_fold = 2
+    cfg.train.epoch_per_fold = 1
+    cfg.train.ckpt_dir = "/tmp/bevrender_test_ckpt"
+    ds = SyntheticDataset(
+        n_items=8, num_views=2, window_num_imgs=2, img_height=32, img_width=32,
+        map_tile=32,
+    )
+    model = BEVRenderModel(cfg)
+    trainer = Trainer(model, cfg, ds)
+    sample = collate([ds[i] for i in range(2)])
+    state = trainer.create_state(jax.random.PRNGKey(0), sample)
+    return cfg, ds, model, trainer, sample, state
+
+
+class TestSchedule:
+    def test_warmup_cosine_parity(self):
+        # utils/scheduler.py:5-29 semantics
+        assert warmup_cosine_lambda(0, 5, 100) == 0.0
+        assert warmup_cosine_lambda(3, 5, 100) == 0.6
+        assert warmup_cosine_lambda(5, 5, 100) == 1.0
+        assert abs(warmup_cosine_lambda(100, 5, 100)) < 1e-9
+        mid = warmup_cosine_lambda(52, 5, 100)
+        assert 0.4 < mid < 0.6
+
+
+class TestTrainStep:
+    def test_loss_decreases_and_stats_update(self, setup):
+        cfg, ds, model, trainer, sample, state = setup
+        batch = {k: jnp.asarray(v) for k, v in sample.items()}
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(3):
+            state, metrics = trainer._train_step(state, batch, rng)
+            losses.append(float(metrics["train_batch_loss"]))
+            assert np.isfinite(losses[-1])
+            assert float(metrics["camera_encoder_grad_norm"]) > 0
+        assert losses[-1] < losses[0]  # same batch -> loss must fall
+
+    def test_eval_step(self, setup):
+        cfg, ds, model, trainer, sample, state = setup
+        batch = {k: jnp.asarray(v) for k, v in sample.items()}
+        metrics, cam_e, map_e, out = trainer._eval_step(state, batch)
+        assert np.isfinite(float(metrics["val_batch_loss"]))
+        assert cam_e.shape[0] == 2 and cam_e.shape == map_e.shape
+
+    def test_epoch_lr_injection(self, setup):
+        cfg, ds, model, trainer, sample, state = setup
+        s0 = trainer.set_epoch_lr(state, 0)
+        assert float(s0.opt_state.hyperparams["learning_rate"]) == 0.0
+        s5 = trainer.set_epoch_lr(state, cfg.train.warmup_epochs)
+        np.testing.assert_allclose(
+            float(s5.opt_state.hyperparams["learning_rate"]),
+            cfg.train.learning_rate,
+            rtol=1e-6,
+        )
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, setup, tmp_path):
+        cfg, ds, model, trainer, sample, state = setup
+        trainer.work_dir = str(tmp_path)
+        trainer.save_checkpoint(state, epoch=3, best=True)
+        trainer.save_checkpoint(state, epoch=3, best=False)
+        assert (tmp_path / "best_epoch_3").exists()
+        assert (tmp_path / "last_epoch").exists()
+
+        # perturb then restore
+        perturbed = state.replace(
+            params=jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+        )
+        restored = trainer.restore_checkpoint(perturbed, str(tmp_path / "best_epoch_3"))
+        orig = jax.tree_util.tree_leaves(state.params)
+        rest = jax.tree_util.tree_leaves(restored.params)
+        for a, b in zip(orig, rest):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_latest_best(self, setup, tmp_path):
+        from bevrender_tpu.training.checkpoint import latest_best
+
+        cfg, ds, model, trainer, sample, state = setup
+        trainer.work_dir = str(tmp_path)
+        trainer.save_checkpoint(state, epoch=1, best=True)
+        trainer.save_checkpoint(state, epoch=7, best=True)
+        assert latest_best(str(tmp_path)).endswith("best_epoch_7")
+
+
+class TestKFoldLoop:
+    def test_two_epochs_end_to_end(self, setup, tmp_path):
+        cfg, ds, model, trainer, sample, state = setup
+        trainer.work_dir = str(tmp_path)
+        state = trainer.train(state, max_epochs=3)
+        assert int(state.step) > 0
