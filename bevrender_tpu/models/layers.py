@@ -57,10 +57,25 @@ def make_norm(norm: str, *, axis_name: Optional[str] = None) -> Callable[..., nn
     if norm == "group":
 
         def f(use_running_average: bool, name=None):  # flag ignored
-            return nn.GroupNorm(num_groups=None, group_size=8, name=name)
+            return AdaptiveGroupNorm(name=name)
 
         return f
     raise ValueError(f"unknown norm: {norm}")
+
+
+class AdaptiveGroupNorm(nn.Module):
+    """GroupNorm whose group size adapts to narrow layers (decoder heads can
+    have 4 channels while trunk layers have 64+)."""
+
+    max_group_size: int = 8
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        import math
+
+        c = x.shape[-1]
+        gs = math.gcd(c, self.max_group_size)
+        return nn.GroupNorm(num_groups=c // gs)(x)
 
 
 class DropPath(nn.Module):
