@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from bevrender_tpu.ops.grid_sample import grid_sample_2d
+from bevrender_tpu.ops.grid_sample import grid_sample_2d_mm
 
 
 def _inverse_affine_grid(
@@ -82,7 +82,7 @@ def affine_warp(
     """
     _, H, W, _ = bev.shape
     grid = _inverse_affine_grid(angle_rad, translate, H, W)
-    return grid_sample_2d(bev, grid, align_corners=True)
+    return grid_sample_2d_mm(bev, grid, align_corners=True)
 
 
 def project_history_bev(

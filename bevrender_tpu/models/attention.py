@@ -151,6 +151,7 @@ class TSADeformableAttention(nn.Module):
             rpe.reshape(G, Hpg, 2 * H - 1, 2 * W - 1),
             scale=ch**-0.5,
             chunk=self.chunk,
+            lattice_hw=(H, W),
             dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
             dropout_rng=(
                 self.make_rng("dropout")
@@ -274,6 +275,7 @@ class SCADeformableAttention(nn.Module):
                 rpe,
                 scale=ch**-0.5,
                 chunk=self.chunk,
+                lattice_hw=(H, W),
                 dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
                 dropout_rng=(
                     self.make_rng("dropout")

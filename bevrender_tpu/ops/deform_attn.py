@@ -44,7 +44,11 @@ def _bilinear_table_lookup(
     disp: jax.Array,  # (B, G, m, N, 2) (y, x) in [-1, 1]
 ) -> jax.Array:  # (B, G, Hpg, m, N)
     G, Hpg, Ht, Wt = table.shape
-    flat = table.reshape(G, Hpg, Ht * Wt)
+    # Row-gather layout: rows indexed by (g, y, x) with the head dim on the
+    # contiguous minor axis — each gathered element is one Hpg-vector load.
+    # Gathering along a strided axis (heads-major table) serializes on TPU.
+    rows = jnp.transpose(table, (0, 2, 3, 1)).reshape(G * Ht * Wt, Hpg)
+    gbase = (jnp.arange(G, dtype=jnp.int32) * (Ht * Wt)).reshape(1, G, 1, 1)
 
     py = (disp[..., 0] + 1.0) * 0.5 * (Ht - 1)
     px = (disp[..., 1] + 1.0) * 0.5 * (Wt - 1)
@@ -58,22 +62,113 @@ def _bilinear_table_lookup(
         inb = (yc >= 0.0) & (yc <= Ht - 1.0) & (xc >= 0.0) & (xc <= Wt - 1.0)
         yi = jnp.clip(yc, 0.0, Ht - 1.0).astype(jnp.int32)
         xi = jnp.clip(xc, 0.0, Wt - 1.0).astype(jnp.int32)
-        idx = yi * Wt + xi  # (B, G, m, N)
+        idx = gbase + yi * Wt + xi  # (B, G, m, N)
+        vals = jnp.take(rows, idx, axis=0)  # (B, G, m, N, Hpg)
+        return vals * jnp.where(inb, w, 0.0)[..., None]
 
-        def per_group(tbl_g, idx_g):  # (Hpg, T), (B, m, N)
-            return jnp.take(tbl_g, idx_g, axis=1)  # (Hpg, B, m, N)
-
-        vals = jax.vmap(per_group, in_axes=(0, 1), out_axes=0)(flat, idx)
-        # vals: (G, Hpg, B, m, N) -> (B, G, Hpg, m, N)
-        vals = jnp.transpose(vals, (2, 0, 1, 3, 4))
-        return vals * jnp.where(inb, w, 0.0)[:, :, None]
-
-    return (
+    out = (
         corner(y0, x0, (1 - wy1) * (1 - wx1))
         + corner(y0, x0 + 1.0, (1 - wy1) * wx1)
         + corner(y0 + 1.0, x0, wy1 * (1 - wx1))
         + corner(y0 + 1.0, x0 + 1.0, wy1 * wx1)
     )
+    return jnp.transpose(out, (0, 1, 4, 2, 3))  # (B, G, Hpg, m, N)
+
+
+def _lattice_bias(
+    table: jax.Array,  # (G, Hpg, Ht, Wt)
+    k_pos: jax.Array,  # (B, G, N, 2) (y, x) in [-1, 1]
+    H: int,
+    W: int,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:  # (B, G, Hpg, H*W, N)
+    """Exact rpe bias via per-key translated windows (TPU fast path).
+
+    The query positions are the regular ``normalized_grid(H, W)`` lattice and
+    the table height is ``2H - 1`` (SCA_deform_attn.py:158-164), so the table-
+    space row coordinate separates as ``py(i, j) = iy + sy(j)`` with *integer*
+    query steps; likewise ``px(i, j) = u(ix) + sx(j)`` with fixed per-column
+    offsets. The bilinear ``grid_sample`` of the table therefore reduces to,
+    per key j, one (H+1, W, 3)-block dynamic-slice of a column-rearranged
+    table plus elementwise corner weights — block copies instead of the
+    O(M*N*4) element gathers a direct lookup needs (TPUs have no hardware
+    gather; element gathers serialize).
+
+    Produces bit-identical results to ``_bilinear_table_lookup`` on the
+    lattice (see tests/test_models.py::TestLatticeBias).
+    """
+    import numpy as np
+
+    G, Hpg, Ht, Wt = table.shape
+    B, _, N, _ = k_pos.shape
+    if Ht != 2 * H - 1:
+        raise ValueError(f"lattice bias requires Ht == 2H-1, got {Ht} vs H={H}")
+    PAD = 4
+    Ay = (Ht - 1) / 4.0  # == (H - 1) / 2
+    Ax = (Wt - 1) / 4.0
+
+    ky = k_pos[..., 0]
+    kx = k_pos[..., 1]
+    # py = iy + sy(j);  px = u(ix) + sx(j)   (both in table pixel coords)
+    sy = -Ay * ky + (Ht - 1) / 2.0 - (H - 1) / 2.0  # (B, G, N)
+    sx_shift = -Ax * kx + (Wt - 1) / 2.0 - Ax  # shifted so u' >= 0
+    u_shift = Ax * (-1.0 + 2.0 * np.arange(W) / (W - 1)) + Ax  # (W,) static
+
+    u0 = np.floor(u_shift).astype(np.int32)  # static per-column starts
+    g = jnp.asarray((u_shift - u0).astype(np.float32))  # (W,)
+    y0 = jnp.floor(sy)
+    wy = (sy - y0)[..., None, None, None]  # (B, G, N, 1, 1, 1)
+    s0 = jnp.floor(sx_shift)
+    f = sx_shift - s0  # (B, G, N)
+    phi = g[None, None, None, :] + f[..., None]  # (B, G, N, W)
+    c = jnp.floor(phi)
+    wx = (phi - c)[:, :, :, None, :, None]  # (B, G, N, 1, W, 1)
+    c = (c > 0.5)[:, :, :, None, :, None]  # bool: column crossed into +1
+
+    # zero-padded head-minor table and static per-column re-slicing:
+    # T3[g, y, ix, m, h] = Tp[g, y, u0[ix] + m, h]
+    m_max = int(np.ceil((Wt - 1) / 2.0)) + 3 + PAD
+    # the windowed-slice tensor dominates HBM traffic for this op; bf16
+    # halves it (table std is 0.01 — well inside bf16 range), while the
+    # softmax downstream stays f32.
+    Tp = jnp.pad(
+        jnp.transpose(table.astype(compute_dtype), (0, 2, 3, 1)),
+        ((0, 0), (PAD, PAD), (PAD, max(PAD, m_max)), (0, 0)),
+    )
+    T3 = jnp.stack(
+        [Tp[:, :, int(u0[ix]) : int(u0[ix]) + m_max, :] for ix in range(W)],
+        axis=2,
+    )  # (G, Ht+2PAD, W, m_max, Hpg)
+    # Slice layout (y, m, ix, h): the dynamically-sliced axes lead, so every
+    # block piece is a contiguous (W * Hpg) run — slice granule size drives
+    # gather throughput on TPU (12-byte granules serialize).
+    T3 = jnp.transpose(T3, (0, 1, 3, 2, 4))  # (G, Y, m_max, W, Hpg)
+
+    y_start = jnp.clip(y0.astype(jnp.int32) + PAD, 0, Ht + 2 * PAD - (H + 1))
+    m_start = jnp.clip(s0.astype(jnp.int32) + PAD, 0, m_max - 3)
+
+    def slice_one(t3g, ys, ms):
+        return jax.lax.dynamic_slice(
+            t3g, (ys, ms, 0, 0), (H + 1, 3, W, Hpg)
+        )
+
+    # vmap over N, then G (paired with tables), then B
+    per_keys = jax.vmap(slice_one, in_axes=(None, 0, 0))
+    per_group = jax.vmap(per_keys, in_axes=(0, 0, 0))
+    win = jax.vmap(per_group, in_axes=(None, 0, 0))(T3, y_start, m_start)
+    # win: (B, G, N, H+1, 3, W, Hpg)
+
+    wx = wx.astype(compute_dtype)
+    wy = wy.astype(compute_dtype)
+    left = jnp.where(c, win[..., 1, :, :], win[..., 0, :, :])
+    right = jnp.where(c, win[..., 2, :, :], win[..., 1, :, :])
+    xin = (1.0 - wx) * left + wx * right  # (B, G, N, H+1, W, Hpg)
+    bias = (1.0 - wy) * xin[:, :, :, :H] + wy * xin[:, :, :, 1 : H + 1]
+    # (B, G, N, H, W, Hpg) -> (B, G, Hpg, H*W, N)
+    bias = jnp.transpose(bias, (0, 1, 5, 3, 4, 2)).reshape(
+        B, G, Hpg, H * W, N
+    )
+    return bias.astype(jnp.float32)
 
 
 def streamed_deform_attention(
@@ -88,13 +183,46 @@ def streamed_deform_attention(
     chunk: int = 512,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    lattice_hw: Optional[tuple] = None,
 ) -> jax.Array:
     """Attention over sampled keys with continuous relative-position bias.
+
+    ``lattice_hw=(H, W)`` asserts that ``q_pos`` is exactly
+    ``normalized_grid(H, W)`` and the table height is ``2H-1`` — both callers
+    satisfy this — and switches the rpe lookup to the block-sliced lattice
+    fast path (see :func:`_lattice_bias`), which is the difference between
+    element gathers and block copies on TPU.
 
     Returns (B, G, Hpg, M, ch). See module docstring for shapes.
     """
     B, G, Hpg, M, ch = q.shape
     N = k.shape[3]
+
+    if lattice_hw is not None:
+        use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+
+        @functools.partial(
+            jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable
+        )
+        def full_site(q, k, v, k_pos, rpe_table, key):
+            s = jnp.einsum(
+                "bghmc,bghnc->bghmn", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            s = s + _lattice_bias(rpe_table, k_pos, *lattice_hw)
+            p = jax.nn.softmax(s, axis=-1)
+            if use_dropout:
+                mask = jax.random.bernoulli(key, 1.0 - dropout_rate, p.shape)
+                p = jnp.where(mask, p / (1.0 - dropout_rate), 0.0)
+            return jnp.einsum(
+                "bghmn,bghnc->bghmc", p, v, preferred_element_type=jnp.float32
+            )
+
+        key = (
+            dropout_rng
+            if use_dropout
+            else jnp.zeros((2,), dtype=jnp.uint32)
+        )
+        return full_site(q, k, v, k_pos, rpe_table, key)
     chunk = min(chunk, M)
     n_chunks = -(-M // chunk)
     pad = n_chunks * chunk - M
@@ -127,7 +255,17 @@ def streamed_deform_attention(
             "bghmn,bghnc->bghmc", p, v, preferred_element_type=jnp.float32
         )
 
-    out = jax.lax.map(lambda args: one_chunk(*args), (q_chunks, qpos_chunks, keys))
+    if n_chunks <= 2:
+        # unrolled: avoids lax.map trace/compile overhead for the common case
+        outs = [
+            one_chunk(q_chunks[i], qpos_chunks[i], keys[i])
+            for i in range(n_chunks)
+        ]
+        out = jnp.stack(outs, axis=0)
+    else:
+        out = jax.lax.map(
+            lambda args: one_chunk(*args), (q_chunks, qpos_chunks, keys)
+        )
     # (n_chunks, B, G, Hpg, chunk, ch) -> (B, G, Hpg, M, ch)
     out = out.transpose(1, 2, 3, 0, 4, 5).reshape(B, G, Hpg, n_chunks * chunk, ch)
     if pad:

@@ -66,7 +66,11 @@ def grid_sample_2d(
     wy1 = iy - iy0
     wy0 = 1.0 - wy1
 
-    flat = image.reshape(B, H * W, C)
+    # Row-gather layout: (B*H*W, C) rows with C on the contiguous minor axis —
+    # XLA lowers this to vector loads; gathering scalars (or strided columns)
+    # on TPU serializes and is orders of magnitude slower.
+    flat = image.reshape(B * H * W, C)
+    base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
 
     def corner(iy_c, ix_c, w):
         in_bounds = (
@@ -74,8 +78,8 @@ def grid_sample_2d(
         )
         xi = jnp.clip(ix_c, 0.0, W - 1.0).astype(jnp.int32)
         yi = jnp.clip(iy_c, 0.0, H - 1.0).astype(jnp.int32)
-        idx = yi * W + xi  # (B, n)
-        vals = jnp.take_along_axis(flat, idx[:, :, None], axis=1)  # (B, n, C)
+        idx = base + yi * W + xi  # (B, n) global row ids
+        vals = jnp.take(flat, idx, axis=0)  # (B, n, C) contiguous rows
         w = jnp.where(in_bounds, w, 0.0)
         return vals * w[:, :, None]
 
@@ -84,6 +88,46 @@ def grid_sample_2d(
         + corner(iy0, ix1, wy0 * wx1)
         + corner(iy1, ix0, wy1 * wx0)
         + corner(iy1, ix1, wy1 * wx1)
+    )
+    return out.reshape(*batch_shape, C)
+
+
+def grid_sample_2d_mm(
+    image: jax.Array,
+    grid: jax.Array,
+    *,
+    align_corners: bool = True,
+) -> jax.Array:
+    """Bilinear sampling as two dense contractions (TPU fast path).
+
+    Identical math and padding semantics to :func:`grid_sample_2d`, but built
+    from matmuls instead of gathers: the bilinear kernel is the hat function
+    ``max(0, 1 - |p - i|)``, which is exactly zero for out-of-bounds pixels,
+    so ``out[n] = Wx[n] . (Wy[n] @ image)`` with sparse-in-effect dense weight
+    matrices. TPUs have no hardware gather — the MXU happily eats the extra
+    FLOPs, and this is typically >10x faster than the gather form for the
+    deformable-attention K/V sizes.
+    """
+    B, H, W, C = image.shape
+    batch_shape = grid.shape[:-1]
+    n = 1
+    for s in batch_shape[1:]:
+        n *= s
+    gx = grid[..., 0].reshape(B, n)
+    gy = grid[..., 1].reshape(B, n)
+    ix = _unnormalize(gx, W, align_corners)
+    iy = _unnormalize(gy, H, align_corners)
+
+    ys = jnp.arange(H, dtype=image.dtype)
+    xs = jnp.arange(W, dtype=image.dtype)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[:, :, None] - ys))  # (B, n, H)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix[:, :, None] - xs))  # (B, n, W)
+
+    rows = jnp.einsum(
+        "bnh,bhwc->bnwc", wy, image, preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum(
+        "bnw,bnwc->bnc", wx, rows, preferred_element_type=jnp.float32
     )
     return out.reshape(*batch_shape, C)
 

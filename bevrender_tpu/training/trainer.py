@@ -326,6 +326,8 @@ class Trainer:
                     is_best = True
             if self.tc.save_ckpt and jax.process_index() == 0:
                 self.save_checkpoint(state, epoch, best=is_best)
+            if is_best and self.tc.save_val_results:
+                self.save_val_images(state, val_loader, epoch)  # train.py:479-483
 
         self.logger.info(
             "Summary of epoch %d/%d - training loss: %.8f%s",
@@ -410,6 +412,46 @@ class Trainer:
             best=best,
         )
         self.logger.info("model saved at epoch %d -> %s", epoch, path)
+
+    def save_val_images(self, state: TrainState, val_loader, epoch: int) -> None:
+        """Dump best-epoch validation renders as PNGs
+        (``save_val_images``, train.py:609-637)."""
+        from PIL import Image
+
+        out_dir = Path(self.work_dir) / "best_epoch_val"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for batch in device_prefetch(iter(val_loader), sharding=self.batch_sharding):
+            _, _, _, out = self._eval_step(state, batch)
+            for render, ts in zip(np.asarray(out), np.asarray(batch["timestamp"])):
+                img = (np.clip(render, 0, 1) * 255).astype(np.uint8)
+                Image.fromarray(img).save(out_dir / f"{int(ts)}.png")
+        self.logger.info("val images saved at epoch %d -> %s", epoch, out_dir)
+
+    @staticmethod
+    def get_log_image(render: np.ndarray, map_tile: np.ndarray,
+                      cameras: np.ndarray) -> np.ndarray:
+        """Composite (cameras row above [map | zeros | render]) mirroring
+        ``get_log_image`` (train.py:639-654). All inputs NHWC float."""
+        def norm(x):
+            lo, hi = x.min(), x.max()
+            return (x - lo) / max(hi - lo, 1e-8)
+
+        h, w = render.shape[:2]
+        bottom = np.concatenate(
+            [norm(map_tile), np.zeros_like(map_tile), np.clip(render, 0, 1)],
+            axis=1,
+        )
+        cams = norm(cameras)  # (V, Hv, Wv, 3) -> one wide row
+        wide = np.concatenate(list(cams), axis=1)
+        from PIL import Image
+
+        wide = np.asarray(
+            Image.fromarray((wide * 255).astype(np.uint8)).resize(
+                (bottom.shape[1], h), Image.BILINEAR
+            ),
+            dtype=np.float32,
+        ) / 255.0
+        return np.concatenate([wide, bottom], axis=0)
 
     def restore_checkpoint(self, state: TrainState, path: str) -> TrainState:
         restored = ckpt.restore_model(

@@ -103,3 +103,30 @@ def test_normalized_grid_matches_reference_semantics():
     np.testing.assert_allclose(g[0, 0], [-1.0, -1.0], atol=1e-7)
     np.testing.assert_allclose(g[-1, -1], [1.0, 1.0], atol=1e-7)
     np.testing.assert_allclose(g[1, 0, 0], -1.0 + 2.0 / 3.0, atol=1e-6)
+
+
+def test_mm_sampler_matches_gather_and_torch():
+    """grid_sample_2d_mm (matmul form) == grid_sample_2d == torch."""
+    from bevrender_tpu.ops.grid_sample import grid_sample_2d_mm
+
+    img = _rand((2, 7, 9, 5), 21)
+    grid = (_rand((2, 4, 11, 2), 22) * 1.3).clip(-1.8, 1.8)
+    mm = grid_sample_2d_mm(jnp.asarray(img), jnp.asarray(grid))
+    gather = grid_sample_2d(jnp.asarray(img), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(gather), rtol=1e-5, atol=1e-5)
+    ref = TF.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2),
+        torch.from_numpy(grid),
+        mode="bilinear", padding_mode="zeros", align_corners=True,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(mm), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_mm_sampler_grad_matches_gather(): 
+    from bevrender_tpu.ops.grid_sample import grid_sample_2d_mm
+
+    img = jnp.asarray(_rand((1, 6, 6, 3), 23))
+    grid = jnp.asarray((_rand((1, 5, 5, 2), 24) * 0.9))
+    g1 = jax.grad(lambda g: jnp.sum(grid_sample_2d_mm(img, g) ** 2))(grid)
+    g2 = jax.grad(lambda g: jnp.sum(grid_sample_2d(img, g) ** 2))(grid)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)

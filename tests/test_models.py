@@ -68,6 +68,55 @@ class TestStreamedAttention:
         )
         assert float(jnp.abs(zero - biased).max()) > 1e-4
 
+    def test_lattice_bias_matches_general_lookup(self):
+        """The block-sliced lattice bias must equal the general bilinear
+        lookup when queries sit on the normalized grid."""
+        from bevrender_tpu.ops.deform_attn import (
+            _bilinear_table_lookup,
+            _lattice_bias,
+        )
+        from bevrender_tpu.ops.grid_sample import normalized_grid
+
+        for (H, W, Wt_mult) in [(8, 8, 1), (6, 12, 1), (8, 8, 3)]:
+            B, G, Hpg, N = 2, 2, 3, 17
+            Ht, Wt = 2 * H - 1, 2 * W * Wt_mult - 1
+            table = _r(20 + H, (G, Hpg, Ht, Wt))
+            k_pos = jnp.tanh(_r(21 + H, (B, G, N, 2))) * 1.05  # incl. slight OOB
+            q_pos = normalized_grid(H, W).reshape(H * W, 2)
+            disp = (q_pos[None, None, :, None, :] - k_pos[:, :, None, :, :]) * 0.5
+            want = _bilinear_table_lookup(table, disp)
+            got = _lattice_bias(table, k_pos, H, W, compute_dtype=jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+            )
+            # default bf16 compute stays within bf16 tolerance
+            got16 = _lattice_bias(table, k_pos, H, W)
+            np.testing.assert_allclose(
+                np.asarray(got16), np.asarray(want), rtol=2e-2, atol=2e-2
+            )
+
+    def test_lattice_attention_matches_dense(self):
+        from bevrender_tpu.ops.grid_sample import normalized_grid
+
+        B, G, Hpg, H, W, N, ch = 1, 2, 2, 6, 6, 9, 4
+        M = H * W
+        q = _r(30, (B, G, Hpg, M, ch))
+        k = _r(31, (B, G, Hpg, N, ch))
+        v = _r(32, (B, G, Hpg, N, ch))
+        q_pos = normalized_grid(H, W).reshape(M, 2)
+        k_pos = jnp.tanh(_r(33, (B, G, N, 2)))
+        table = _r(34, (G, Hpg, 2 * H - 1, 2 * W - 1)) * 0.2
+        dense = dense_deform_attention_reference(
+            q, k, v, q_pos, k_pos, table, scale=0.7
+        )
+        lattice = streamed_deform_attention(
+            q, k, v, q_pos, k_pos, table, scale=0.7, lattice_hw=(H, W)
+        )
+        # lattice path computes the bias in bf16 by default
+        np.testing.assert_allclose(
+            np.asarray(lattice), np.asarray(dense), rtol=5e-3, atol=5e-3
+        )
+
     def test_head_split_roundtrip(self):
         x = _r(7, (3, 12, 16))
         assert np.allclose(
