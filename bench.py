@@ -47,7 +47,7 @@ def main():
     from bevrender_tpu.data.dataset import SyntheticDataset
     from bevrender_tpu.models.bevrender import BEVRenderModel
 
-    batch_size = 8
+    batch_size = 4
     n_tiles = 64
     cfg = flagship_config()
     cfg.data.window_num_imgs = 1  # T=2, matching the torch baseline

@@ -22,7 +22,15 @@ import numpy as np
 
 from bevrender_tpu.config import Config
 from bevrender_tpu.losses.recall import recall_at_k
-from bevrender_tpu.models.bevrender import BEVRenderModel
+from bevrender_tpu.models.bevrender import BEVRenderModel, BEVRenderNet
+
+
+def BEVRenderNet_encode_step(net, *args, **kw):
+    return net.encode_step(*args, **kw)
+
+
+def BEVRenderNet_decode(net, *args, **kw):
+    return net.decode(*args, **kw)
 
 
 def _l2n(x: jax.Array) -> jax.Array:
@@ -85,6 +93,26 @@ class RegistrationPipeline:
         return cls(config, out_vars, embed_fn)
 
     # ------------------------------------------------------------------
+    # Streaming serving: carry the BEV state across frames — one encoder
+    # pass + decode per frame instead of re-running the T-frame history
+    # window (see BEVRenderNet.encode_step).
+    def make_streaming_step(self):
+        net = self.model.net
+        refs = self.model.reference_points
+
+        @jax.jit
+        def step(variables, frame, prev_bev, pose_pair, vtype, tiles):
+            bev = net.apply(
+                variables, frame, prev_bev, pose_pair, vtype, refs,
+                method=BEVRenderNet_encode_step,
+            )
+            out = net.apply(variables, bev, method=BEVRenderNet_decode)
+            emb = _l2n(self.embed_fn(out))
+            dist = 2.0 - 2.0 * emb @ tiles.T
+            return bev, out, jnp.argmin(dist, axis=-1)
+
+        return step
+
     def render(self, batch: Dict[str, jax.Array]) -> jax.Array:
         """(B, T, V, H, W, 3) camera window -> (B, 224, 224, 3) aerial render."""
         return self._render(

@@ -37,7 +37,38 @@ class BEVRenderNet(nn.Module):
     cfg: ModelConfig
     axis_name: Optional[str] = None
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        H0 = W0 = cfg.bev_shapes[0]
+        # learned BEV query (bevrender.py:81-84; uniform init per
+        # bevrender.py:171-172).
+        self.bev_embedding = self.param(
+            "bev_embedding",
+            lambda k, s: jax.random.uniform(k, s),
+            (H0 * W0, cfg.embed_dims[0]),
+        )
+        self.encoder = BEVEncoder(cfg, axis_name=self.axis_name, name="encoder")
+        self.decoder = BEVImageRenderDecoder(
+            bev_spatial_dim=cfg.bev_shapes[-1],
+            model_dim=cfg.embed_dims[-1],
+            hid_dim=cfg.decoder_hid_dim,
+            norm=make_norm(cfg.norm, axis_name=None),
+            name="decoder",
+        )
+
+    def _bev_query(self, batch: int, dtype) -> jax.Array:
+        H0 = W0 = self.cfg.bev_shapes[0]
+        C0 = self.cfg.embed_dims[0]
+        return jnp.broadcast_to(
+            self.bev_embedding.reshape(1, H0, W0, C0), (batch, H0, W0, C0)
+        ).astype(dtype)
+
+    def _ref_pts(self, vehicle_type, reference_points):
+        # vehicle type is constant within a batch (bevrender.py:123 uses
+        # element [0, 0]); select each stage's reference points for it.
+        vt = vehicle_type[0, 0].astype(jnp.int32)
+        return tuple(jnp.take(rp, vt, axis=0) for rp in reference_points)
+
     def __call__(
         self,
         images: jax.Array,  # (B, T, V, H, W, 3) — T-1 history + current
@@ -46,35 +77,16 @@ class BEVRenderNet(nn.Module):
         reference_points: Tuple[jax.Array, ...],  # per stage (types, V, h2, wd, 2)
         train: bool = False,
     ) -> jax.Array:
-        cfg = self.cfg
         B, T = images.shape[0], images.shape[1]
-        H0 = W0 = cfg.bev_shapes[0]
-        C0 = cfg.embed_dims[0]
-
-        # learned BEV query (bevrender.py:81-84; uniform init per
-        # bevrender.py:171-172).
-        bev_embedding = self.param(
-            "bev_embedding",
-            lambda k, s: jax.random.uniform(k, s),
-            (H0 * W0, C0),
-        )
-        bev_query = jnp.broadcast_to(
-            bev_embedding.reshape(1, H0, W0, C0), (B, H0, W0, C0)
-        ).astype(images.dtype)
-
-        # vehicle type is constant within a batch (bevrender.py:123 uses
-        # element [0, 0]); select each stage's reference points for it.
-        vt = vehicle_type[0, 0].astype(jnp.int32)
-        ref_pts = tuple(jnp.take(rp, vt, axis=0) for rp in reference_points)
-
-        encoder = BEVEncoder(cfg, axis_name=self.axis_name, name="encoder")
+        bev_query = self._bev_query(B, images.dtype)
+        ref_pts = self._ref_pts(vehicle_type, reference_points)
 
         # --- recurrent history warm-up (bevrender.py:179-221) ---
         # Runs in eval semantics (deterministic, BN running stats, history
         # alignment ON) with gradients cut, like eval()+no_grad upstream.
         prev_bev = None
         for t in range(T - 1):
-            prev_bev = encoder(
+            prev_bev = self.encoder(
                 bev_query,
                 images[:, t],
                 prev_bev,
@@ -88,7 +100,7 @@ class BEVRenderNet(nn.Module):
         # --- gradient-carrying pass on the current frame (bevrender.py:138-146)
         # history alignment mirrors the reference's train/eval gating
         # (encoder.py:366: warp only when not training).
-        bev = encoder(
+        bev = self.encoder(
             bev_query,
             images[:, -1],
             prev_bev,
@@ -97,16 +109,29 @@ class BEVRenderNet(nn.Module):
             train=train,
             align_history=not train,
         )
+        return self.decoder(bev, train)
 
-        norm = make_norm(cfg.norm, axis_name=self.axis_name if train else None)
-        out = BEVImageRenderDecoder(
-            bev_spatial_dim=cfg.bev_shapes[-1],
-            model_dim=cfg.embed_dims[-1],
-            hid_dim=cfg.decoder_hid_dim,
-            norm=norm,
-            name="decoder",
-        )(bev, train)
-        return out
+    # --- streaming serving mode (TPU-native; the reference recomputes the
+    # whole history window per frame because training samples are shuffled,
+    # bevrender.py:124-134 — a deployed stream can instead carry the BEV
+    # state and run ONE encoder pass per new frame) ---
+    def encode_step(
+        self,
+        frame: jax.Array,  # (B, V, H, W, 3) current camera frame
+        prev_bev: Optional[jax.Array],  # carried BEV state or None
+        pose_pair: jax.Array,  # (B, 2, 3) (previous, current)
+        vehicle_type: jax.Array,  # (B, 1)
+        reference_points: Tuple[jax.Array, ...],
+    ) -> jax.Array:
+        bev_query = self._bev_query(frame.shape[0], frame.dtype)
+        ref_pts = self._ref_pts(vehicle_type, reference_points)
+        return self.encoder(
+            bev_query, frame, prev_bev, pose_pair, ref_pts,
+            train=False, align_history=True,
+        )
+
+    def decode(self, bev: jax.Array) -> jax.Array:
+        return self.decoder(bev, False)
 
 
 class BEVRenderModel:

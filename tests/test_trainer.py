@@ -30,8 +30,13 @@ def setup():
     model = BEVRenderModel(cfg)
     trainer = Trainer(model, cfg, ds)
     sample = collate([ds[i] for i in range(2)])
-    state = trainer.create_state(jax.random.PRNGKey(0), sample)
-    return cfg, ds, model, trainer, sample, state
+    state0 = trainer.create_state(jax.random.PRNGKey(0), sample)
+
+    def fresh_state():
+        # _train_step donates its input state; give each test its own copy
+        return jax.tree_util.tree_map(jnp.copy, state0)
+
+    return cfg, ds, model, trainer, sample, fresh_state
 
 
 class TestSchedule:
@@ -47,7 +52,8 @@ class TestSchedule:
 
 class TestTrainStep:
     def test_loss_decreases_and_stats_update(self, setup):
-        cfg, ds, model, trainer, sample, state = setup
+        cfg, ds, model, trainer, sample, fresh_state = setup
+        state = fresh_state()
         batch = {k: jnp.asarray(v) for k, v in sample.items()}
         rng = jax.random.PRNGKey(1)
         losses = []
@@ -59,14 +65,16 @@ class TestTrainStep:
         assert losses[-1] < losses[0]  # same batch -> loss must fall
 
     def test_eval_step(self, setup):
-        cfg, ds, model, trainer, sample, state = setup
+        cfg, ds, model, trainer, sample, fresh_state = setup
+        state = fresh_state()
         batch = {k: jnp.asarray(v) for k, v in sample.items()}
         metrics, cam_e, map_e, out = trainer._eval_step(state, batch)
         assert np.isfinite(float(metrics["val_batch_loss"]))
         assert cam_e.shape[0] == 2 and cam_e.shape == map_e.shape
 
     def test_epoch_lr_injection(self, setup):
-        cfg, ds, model, trainer, sample, state = setup
+        cfg, ds, model, trainer, sample, fresh_state = setup
+        state = fresh_state()
         s0 = trainer.set_epoch_lr(state, 0)
         assert float(s0.opt_state.hyperparams["learning_rate"]) == 0.0
         s5 = trainer.set_epoch_lr(state, cfg.train.warmup_epochs)
@@ -79,7 +87,8 @@ class TestTrainStep:
 
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, setup, tmp_path):
-        cfg, ds, model, trainer, sample, state = setup
+        cfg, ds, model, trainer, sample, fresh_state = setup
+        state = fresh_state()
         trainer.work_dir = str(tmp_path)
         trainer.save_checkpoint(state, epoch=3, best=True)
         trainer.save_checkpoint(state, epoch=3, best=False)
@@ -99,7 +108,8 @@ class TestCheckpoint:
     def test_latest_best(self, setup, tmp_path):
         from bevrender_tpu.training.checkpoint import latest_best
 
-        cfg, ds, model, trainer, sample, state = setup
+        cfg, ds, model, trainer, sample, fresh_state = setup
+        state = fresh_state()
         trainer.work_dir = str(tmp_path)
         trainer.save_checkpoint(state, epoch=1, best=True)
         trainer.save_checkpoint(state, epoch=7, best=True)
@@ -108,7 +118,8 @@ class TestCheckpoint:
 
 class TestKFoldLoop:
     def test_two_epochs_end_to_end(self, setup, tmp_path):
-        cfg, ds, model, trainer, sample, state = setup
+        cfg, ds, model, trainer, sample, fresh_state = setup
+        state = fresh_state()
         trainer.work_dir = str(tmp_path)
         state = trainer.train(state, max_epochs=3)
         assert int(state.step) > 0
