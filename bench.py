@@ -90,7 +90,7 @@ def main():
     baseline = _torch_baseline_fps()
     vs = fps / baseline if baseline == baseline and baseline > 0 else None
     print(json.dumps({
-        "metric": "BEV render+register throughput (flagship uniform-28, B=8, T=2, 3 views)",
+        "metric": "BEV render+register throughput (flagship uniform-28, B=4, T=2, 3 views)",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
