@@ -85,6 +85,7 @@ class TSADeformableAttention(nn.Module):
     attn_drop_rate: float = 0.0
     proj_drop_rate: float = 0.0
     chunk: int = 512
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(
@@ -152,6 +153,9 @@ class TSADeformableAttention(nn.Module):
             scale=ch**-0.5,
             chunk=self.chunk,
             lattice_hw=(H, W),
+            # the Pallas window kernel has no VJP; deterministic call sites
+            # (eval / stop_gradient'd history recurrence / serving) use it
+            lattice_kernel=self.use_pallas and deterministic,
             dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
             dropout_rng=(
                 self.make_rng("dropout")
@@ -186,6 +190,7 @@ class SCADeformableAttention(nn.Module):
     attn_drop_rate: float = 0.0
     proj_drop_rate: float = 0.0
     chunk: int = 512
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(
@@ -276,6 +281,7 @@ class SCADeformableAttention(nn.Module):
                 scale=ch**-0.5,
                 chunk=self.chunk,
                 lattice_hw=(H, W),
+                lattice_kernel=self.use_pallas and deterministic,
                 dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
                 dropout_rng=(
                     self.make_rng("dropout")

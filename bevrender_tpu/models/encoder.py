@@ -60,6 +60,7 @@ class EncoderLayer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
     attn_chunk: int = 512
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(
@@ -98,6 +99,7 @@ class EncoderLayer(nn.Module):
             attn_drop_rate=self.attn_drop_rate,
             proj_drop_rate=self.drop_rate,
             chunk=self.attn_chunk,
+            use_pallas=self.use_pallas,
             name="temporal_self_attn",
         )(layer_norm(x), prev_bev, deterministic)
         x = drop_path(x, deterministic) + x0
@@ -123,6 +125,7 @@ class EncoderLayer(nn.Module):
             attn_drop_rate=self.attn_drop_rate,
             proj_drop_rate=self.drop_rate,
             chunk=self.attn_chunk,
+            use_pallas=self.use_pallas,
             name="spatial_cross_attn",
         )(layer_norm(x), img_feat, reference_points, deterministic)
         x = drop_path(x, deterministic) + x0
@@ -156,6 +159,7 @@ class BEVEncoderStage(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.2
     attn_chunk: int = 512
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(
@@ -184,6 +188,7 @@ class BEVEncoderStage(nn.Module):
                 attn_drop_rate=self.attn_drop_rate,
                 drop_path_rate=self.drop_path_rate,
                 attn_chunk=self.attn_chunk,
+                use_pallas=self.use_pallas,
                 name=f"layer{i}",
             )(
                 bev_query,
@@ -265,6 +270,7 @@ class BEVEncoder(nn.Module):
                 attn_drop_rate=cfg.attn_drop_rate,
                 drop_path_rate=cfg.drop_path_rate,
                 attn_chunk=cfg.attn_chunk,
+                use_pallas=cfg.use_pallas,
                 name=f"stage{s}",
             )(
                 bev_query,

@@ -81,6 +81,7 @@ def _lattice_bias(
     H: int,
     W: int,
     compute_dtype=jnp.bfloat16,
+    use_kernel: bool = False,
 ) -> jax.Array:  # (B, G, Hpg, H*W, N)
     """Exact rpe bias via per-key translated windows (TPU fast path).
 
@@ -147,21 +148,37 @@ def _lattice_bias(
     y_start = jnp.clip(y0.astype(jnp.int32) + PAD, 0, Ht + 2 * PAD - (H + 1))
     m_start = jnp.clip(s0.astype(jnp.int32) + PAD, 0, m_max - 3)
 
-    def slice_one(t3g, ys, ms):
-        return jax.lax.dynamic_slice(
-            t3g, (ys, ms, 0, 0), (H + 1, 3, W, Hpg)
-        )
+    if use_kernel and jax.default_backend() == "tpu":
+        # Pallas path: table resident in VMEM, per-key windows copied
+        # on-chip (ops/pallas/lattice_win.py). Inference-only (no VJP).
+        from bevrender_tpu.ops.pallas.lattice_win import lattice_windows
 
-    # vmap over N, then G (paired with tables), then B
-    per_keys = jax.vmap(slice_one, in_axes=(None, 0, 0))
-    per_group = jax.vmap(per_keys, in_axes=(0, 0, 0))
-    win = jax.vmap(per_group, in_axes=(None, 0, 0))(T3, y_start, m_start)
-    # win: (B, G, N, H+1, 3, W, Hpg)
+        win = lattice_windows(
+            T3.reshape(G, Ht + 2 * PAD, m_max, W * Hpg),
+            y_start,
+            m_start,
+            h1=H + 1,
+            interpret=False,
+        ).reshape(B, G, N, 3, H + 1, W, Hpg)
+        sel = lambda k: win[:, :, :, k]  # m on axis 3 (kernel layout)
+    else:
+
+        def slice_one(t3g, ys, ms):
+            return jax.lax.dynamic_slice(
+                t3g, (ys, ms, 0, 0), (H + 1, 3, W, Hpg)
+            )
+
+        # vmap over N, then G (paired with tables), then B
+        per_keys = jax.vmap(slice_one, in_axes=(None, 0, 0))
+        per_group = jax.vmap(per_keys, in_axes=(0, 0, 0))
+        win = jax.vmap(per_group, in_axes=(None, 0, 0))(T3, y_start, m_start)
+        # win: (B, G, N, H+1, 3, W, Hpg)
+        sel = lambda k: win[:, :, :, :, k]
 
     wx = wx.astype(compute_dtype)
     wy = wy.astype(compute_dtype)
-    left = jnp.where(c, win[..., 1, :, :], win[..., 0, :, :])
-    right = jnp.where(c, win[..., 2, :, :], win[..., 1, :, :])
+    left = jnp.where(c, sel(1), sel(0))
+    right = jnp.where(c, sel(2), sel(1))
     xin = (1.0 - wx) * left + wx * right  # (B, G, N, H+1, W, Hpg)
     bias = (1.0 - wy) * xin[:, :, :, :H] + wy * xin[:, :, :, 1 : H + 1]
     # (B, G, N, H, W, Hpg) -> (B, G, Hpg, H*W, N)
@@ -184,6 +201,7 @@ def streamed_deform_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     lattice_hw: Optional[tuple] = None,
+    lattice_kernel: bool = False,
 ) -> jax.Array:
     """Attention over sampled keys with continuous relative-position bias.
 
@@ -208,7 +226,9 @@ def streamed_deform_attention(
             s = jnp.einsum(
                 "bghmc,bghnc->bghmn", q, k, preferred_element_type=jnp.float32
             ) * scale
-            s = s + _lattice_bias(rpe_table, k_pos, *lattice_hw)
+            s = s + _lattice_bias(
+                rpe_table, k_pos, *lattice_hw, use_kernel=lattice_kernel
+            )
             p = jax.nn.softmax(s, axis=-1)
             if use_dropout:
                 mask = jax.random.bernoulli(key, 1.0 - dropout_rate, p.shape)

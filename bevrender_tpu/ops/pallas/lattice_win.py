@@ -1,0 +1,105 @@
+"""Pallas TPU kernel: per-key window extraction for the lattice rpe bias.
+
+The XLA fast path (ops/deform_attn.py::_lattice_bias) extracts, per sampled
+key, an (H+1, 3, W, Hpg) window of the column-rearranged rpe table with a
+vmapped ``dynamic_slice``. XLA lowers that to an HBM gather whose cost is
+~15 ns per contiguous granule — (H+1) granules per key. This kernel keeps the
+whole rearranged table resident in VMEM (~2 MB) and copies each key's window
+VMEM->VMEM in a serial loop, so the HBM traffic is exactly one sequential
+write of the output.
+
+Mosaic constraints shape the layout: the last two block dims are the
+(sublane, lane) tile and dynamic starts on the sublane dim must be provably
+8-aligned. So the 3-wide m window rides the *leading* (untiled) dim, the
+y window is read from an 8-aligned base (``pl.multiple_of``), and the
+residual 0..7 shift resolves with an 8-way ``lax.switch`` over static slices.
+
+Start indices arrive via scalar prefetch (SMEM). Used on the
+inference/deterministic paths (bench, validation, history recurrence — the
+latter sits under ``stop_gradient`` so no VJP is required); the training pass
+keeps the XLA path, whose VJP is the scatter transpose XLA derives
+automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _win_kernel(ys_ref, ms_ref, t3_ref, out_ref, *, h1: int, tn: int, npk: int):
+    """ys/ms: (BG*Np,) int32 scalar-prefetch; t3: (1, m_max, Ypad, WH) VMEM;
+    out: (1, 1, tn, 3, h1, WH) VMEM."""
+    bg = pl.program_id(0)
+    t = pl.program_id(1)
+    base = bg * npk + t * tn
+    h1_al = ((h1 + 7 + 7) // 8) * 8  # aligned read covers shift 0..7
+
+    def body(i, carry):
+        ys = ys_ref[base + i]
+        ms = ms_ref[base + i]
+        ys_base = pl.multiple_of((ys // 8) * 8, 8)
+        blk = t3_ref[0, pl.ds(ms, 3), pl.ds(ys_base, h1_al), :]  # (3, h1_al, WH)
+        shift = ys - ys_base
+        out_ref[0, 0, i] = jax.lax.switch(
+            shift, [lambda b, k=k: b[:, k : k + h1, :] for k in range(8)], blk
+        )
+        return carry
+
+    jax.lax.fori_loop(0, tn, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("h1", "interpret"))
+def lattice_windows(
+    t3: jax.Array,  # (G, Y, m_max, WH)
+    y_start: jax.Array,  # (B, G, N) int32
+    m_start: jax.Array,  # (B, G, N) int32
+    h1: int,
+    interpret: bool = False,
+) -> jax.Array:  # (B, G, N, 3, h1, WH)
+    G, Y, m_max, WH = t3.shape
+    B, _, N = y_start.shape
+    TN = 128
+    n_pad = (-N) % TN
+    if n_pad:
+        y_start = jnp.pad(y_start, ((0, 0), (0, 0), (0, n_pad)))
+        m_start = jnp.pad(m_start, ((0, 0), (0, 0), (0, n_pad)))
+    Np = N + n_pad
+    ys = y_start.reshape(B * G * Np).astype(jnp.int32)
+    ms = m_start.reshape(B * G * Np).astype(jnp.int32)
+
+    # (G, m_max, Ypad, WH) with Y padded so aligned reads stay in bounds
+    h1_al = ((h1 + 14) // 8) * 8
+    y_pad = (-(Y) % 8) + h1_al  # generous: aligned base + window always fits
+    t3m = jnp.pad(jnp.swapaxes(t3, 1, 2), ((0, 0), (0, 0), (0, y_pad), (0, 0)))
+    Ypad = Y + y_pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B * G, Np // TN),
+        in_specs=[
+            pl.BlockSpec(
+                (1, m_max, Ypad, WH),
+                lambda bg, t, ys_ref, ms_ref: (bg % G, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TN, 3, h1, WH),
+            lambda bg, t, ys_ref, ms_ref: (bg // G, bg % G, t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_win_kernel, h1=h1, tn=TN, npk=Np),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, G, Np, 3, h1, WH), t3.dtype),
+        interpret=interpret,
+    )(ys, ms, t3m)
+    if n_pad:
+        out = out[:, :, :N]
+    return out

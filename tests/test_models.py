@@ -206,3 +206,30 @@ class TestBEVRenderEndToEnd:
         )(variables, batch["camera"], batch["vehicle_pose"], batch["vehicle_type"])
         assert out.shape == (2, 32, 32, 3)
         assert bool(jnp.isfinite(out).all())
+
+
+class TestLatticeWinKernel:
+    def test_kernel_matches_xla_slices_interpret(self):
+        """Pallas window-extraction kernel (interpret mode) vs vmapped
+        dynamic_slice."""
+        from bevrender_tpu.ops.pallas.lattice_win import lattice_windows
+
+        rng = np.random.default_rng(0)
+        G, Y, m_max, WH = 2, 19, 12, 16
+        B, N, h1 = 2, 37, 9
+        t3 = jnp.asarray(rng.standard_normal((G, Y, m_max, WH)), jnp.float32)
+        ys = jnp.asarray(rng.integers(0, Y - h1, (B, G, N)), jnp.int32)
+        ms = jnp.asarray(rng.integers(0, m_max - 3, (B, G, N)), jnp.int32)
+
+        got = lattice_windows(t3, ys, ms, h1=h1, interpret=True)
+
+        def slice_one(t3g, a, b):
+            # kernel emits m-major windows: (3, h1, WH)
+            return jnp.swapaxes(
+                jax.lax.dynamic_slice(t3g, (a, b, 0), (h1, 3, WH)), 0, 1
+            )
+
+        pk = jax.vmap(slice_one, in_axes=(None, 0, 0))
+        pg = jax.vmap(pk, in_axes=(0, 0, 0))
+        want = jax.vmap(pg, in_axes=(None, 0, 0))(t3, ys, ms)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
