@@ -153,9 +153,7 @@ class TSADeformableAttention(nn.Module):
             scale=ch**-0.5,
             chunk=self.chunk,
             lattice_hw=(H, W),
-            # the Pallas window kernel has no VJP; deterministic call sites
-            # (eval / stop_gradient'd history recurrence / serving) use it
-            lattice_kernel=self.use_pallas and deterministic,
+            lattice_kernel=self.use_pallas,
             dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
             dropout_rng=(
                 self.make_rng("dropout")
@@ -281,7 +279,7 @@ class SCADeformableAttention(nn.Module):
                 scale=ch**-0.5,
                 chunk=self.chunk,
                 lattice_hw=(H, W),
-                lattice_kernel=self.use_pallas and deterministic,
+                lattice_kernel=self.use_pallas,
                 dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
                 dropout_rng=(
                     self.make_rng("dropout")

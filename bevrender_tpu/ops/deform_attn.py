@@ -223,8 +223,12 @@ def streamed_deform_attention(
             jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable
         )
         def full_site(q, k, v, k_pos, rpe_table, key):
+            # bf16 matmul inputs (f32 accumulation): 2x MXU rate + bandwidth
             s = jnp.einsum(
-                "bghmc,bghnc->bghmn", q, k, preferred_element_type=jnp.float32
+                "bghmc,bghnc->bghmn",
+                q.astype(jnp.bfloat16),
+                k.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
             ) * scale
             s = s + _lattice_bias(
                 rpe_table, k_pos, *lattice_hw, use_kernel=lattice_kernel
@@ -234,7 +238,10 @@ def streamed_deform_attention(
                 mask = jax.random.bernoulli(key, 1.0 - dropout_rate, p.shape)
                 p = jnp.where(mask, p / (1.0 - dropout_rate), 0.0)
             return jnp.einsum(
-                "bghmn,bghnc->bghmc", p, v, preferred_element_type=jnp.float32
+                "bghmn,bghnc->bghmc",
+                p.astype(jnp.bfloat16),
+                v.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
             )
 
         key = (

@@ -53,8 +53,116 @@ def _win_kernel(ys_ref, ms_ref, t3_ref, out_ref, *, h1: int, tn: int, npk: int):
     jax.lax.fori_loop(0, tn, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("h1", "interpret"))
+def _win_bwd_kernel(ys_ref, ms_ref, gwin_ref, dt3_ref, *, h1: int, tn: int,
+                    npk: int, G: int):
+    """Scatter-add cotangent windows back into the table gradient.
+
+    Grid (G, B, tiles): the dt3 output block is indexed by g only, so Pallas
+    keeps it resident in VMEM across all (b, t) steps of the same g and the
+    read-modify-write accumulation below is race-free (grid is sequential).
+    """
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+    h1_al = ((h1 + 7 + 7) // 8) * 8
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dt3_ref[...] = jnp.zeros_like(dt3_ref)
+
+    base = (b * G + g) * npk + t * tn
+
+    def body(i, carry):
+        ys = ys_ref[base + i]
+        ms = ms_ref[base + i]
+        ys_base = pl.multiple_of((ys // 8) * 8, 8)
+        shift = ys - ys_base
+        gw = gwin_ref[0, 0, i].astype(jnp.float32)  # (3, h1, WH)
+        upd = jax.lax.switch(
+            shift,
+            [
+                lambda x, k=k: jnp.pad(x, ((0, 0), (k, h1_al - h1 - k), (0, 0)))
+                for k in range(8)
+            ],
+            gw,
+        )
+        blk = dt3_ref[0, pl.ds(ms, 3), pl.ds(ys_base, h1_al), :]
+        dt3_ref[0, pl.ds(ms, 3), pl.ds(ys_base, h1_al), :] = blk + upd
+        return carry
+
+    jax.lax.fori_loop(0, tn, body, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def lattice_windows(
+    t3, y_start, m_start, h1: int, interpret: bool = False
+):
+    """Differentiable wrapper: forward = window-extraction kernel; backward =
+    scatter-add kernel for the table cotangent (starts are integers)."""
+    return _lattice_windows_fwd_impl(t3, y_start, m_start, h1, interpret)
+
+
+def _lattice_windows_fwd(t3, y_start, m_start, h1, interpret):
+    out = _lattice_windows_fwd_impl(t3, y_start, m_start, h1, interpret)
+    return out, (t3, y_start, m_start)
+
+
+def _lattice_windows_bwd(h1, interpret, res, g_out):
+    import numpy as np
+
+    t3, y_start, m_start = res
+    G, Y, m_max, WH = t3.shape
+    dtype = t3.dtype
+    B, _, N = y_start.shape
+    TN = 128
+    n_pad = (-N) % TN
+    if n_pad:
+        y_start = jnp.pad(y_start, ((0, 0), (0, 0), (0, n_pad)))
+        m_start = jnp.pad(m_start, ((0, 0), (0, 0), (0, n_pad)))
+        g_out = jnp.pad(
+            g_out, ((0, 0), (0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
+        )
+    Np = N + n_pad
+    ys = y_start.reshape(B * G * Np).astype(jnp.int32)
+    ms = m_start.reshape(B * G * Np).astype(jnp.int32)
+    h1_al = ((h1 + 14) // 8) * 8
+    y_pad = (-(Y) % 8) + h1_al
+    Ypad = Y + y_pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G, B, Np // TN),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, TN, 3, h1, WH),
+                lambda g, b, t, ys_ref, ms_ref: (b, g, t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m_max, Ypad, WH),
+            lambda g, b, t, ys_ref, ms_ref: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    dt3m = pl.pallas_call(
+        functools.partial(_win_bwd_kernel, h1=h1, tn=TN, npk=Np, G=G),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, m_max, Ypad, WH), jnp.float32),
+        interpret=interpret,
+    )(ys, ms, g_out)
+    dt3 = jnp.swapaxes(dt3m[:, :, :Y], 1, 2).astype(dtype)
+    zi = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return dt3, zi(y_start[:, :, :N] if n_pad else y_start), zi(
+        m_start[:, :, :N] if n_pad else m_start
+    )
+
+
+lattice_windows.defvjp(_lattice_windows_fwd, _lattice_windows_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("h1", "interpret"))
+def _lattice_windows_fwd_impl(
     t3: jax.Array,  # (G, Y, m_max, WH)
     y_start: jax.Array,  # (B, G, N) int32
     m_start: jax.Array,  # (B, G, N) int32

@@ -112,9 +112,9 @@ class TestStreamedAttention:
         lattice = streamed_deform_attention(
             q, k, v, q_pos, k_pos, table, scale=0.7, lattice_hw=(H, W)
         )
-        # lattice path computes the bias in bf16 by default
+        # lattice path computes the bias and matmul inputs in bf16 by default
         np.testing.assert_allclose(
-            np.asarray(lattice), np.asarray(dense), rtol=5e-3, atol=5e-3
+            np.asarray(lattice), np.asarray(dense), rtol=2e-2, atol=2e-2
         )
 
     def test_head_split_roundtrip(self):
@@ -233,3 +233,37 @@ class TestLatticeWinKernel:
         pg = jax.vmap(pk, in_axes=(0, 0, 0))
         want = jax.vmap(pg, in_axes=(None, 0, 0))(t3, ys, ms)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_kernel_vjp_matches_xla_interpret(self):
+        """Backward scatter kernel (interpret) vs autodiff of XLA slices."""
+        from bevrender_tpu.ops.pallas.lattice_win import lattice_windows
+
+        rng = np.random.default_rng(1)
+        G, Y, m_max, WH = 2, 19, 12, 16
+        B, N, h1 = 1, 11, 9
+        t3 = jnp.asarray(rng.standard_normal((G, Y, m_max, WH)), jnp.float32)
+        ys = jnp.asarray(rng.integers(0, Y - h1, (B, G, N)), jnp.int32)
+        ms = jnp.asarray(rng.integers(0, m_max - 3, (B, G, N)), jnp.int32)
+        tang = jnp.asarray(
+            rng.standard_normal((B, G, N, 3, h1, WH)), jnp.float32
+        )
+
+        def loss_kernel(t):
+            return jnp.sum(lattice_windows(t, ys, ms, h1, True) * tang)
+
+        def slice_one(t3g, a, b):
+            return jnp.swapaxes(
+                jax.lax.dynamic_slice(t3g, (a, b, 0), (h1, 3, WH)), 0, 1
+            )
+
+        def loss_xla(t):
+            pk = jax.vmap(slice_one, in_axes=(None, 0, 0))
+            pg = jax.vmap(pk, in_axes=(0, 0, 0))
+            win = jax.vmap(pg, in_axes=(None, 0, 0))(t, ys, ms)
+            return jnp.sum(win * tang)
+
+        g_kernel = jax.grad(loss_kernel)(t3)
+        g_xla = jax.grad(loss_xla)(t3)
+        np.testing.assert_allclose(
+            np.asarray(g_kernel), np.asarray(g_xla), rtol=1e-5, atol=1e-5
+        )
