@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from bevrender_tpu.models.layers import trunc_normal_init
+from bevrender_tpu.models.layers import Conv, Dense, trunc_normal_init
 from bevrender_tpu.ops.deform_attn import streamed_deform_attention
 from bevrender_tpu.ops.grid_sample import grid_sample_2d, normalized_grid
 from bevrender_tpu.parallel.annotate import hint
@@ -107,7 +107,7 @@ class TSADeformableAttention(nn.Module):
         # grouped/depthwise offset convs cannot be channel-sharded by GSPMD
         qg = hint(qg, "data", None, None, None)
         pad = self.kernel_size // 2 if self.kernel_size != self.stride else 0
-        off = nn.Conv(
+        off = Conv(
             Cg,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
@@ -117,7 +117,7 @@ class TSADeformableAttention(nn.Module):
         )(qg)
         off = nn.LayerNorm(name="offset_norm")(off)
         off = nn.gelu(off)
-        off = nn.Conv(2, (1, 1), use_bias=False, name="offset_proj")(off)
+        off = Conv(2, (1, 1), use_bias=False, name="offset_proj")(off)
         # (B*G, Hk, Wk, 2) channels = (y, x)
         Hk, Wk = off.shape[1], off.shape[2]
         N = Hk * Wk
@@ -133,8 +133,8 @@ class TSADeformableAttention(nn.Module):
         xg = x.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4).reshape(B * G, H, W, Cg)
         kv = grid_sample_2d(xg, pos[..., ::-1])  # (x, y) order for sampling
         kv = kv.reshape(B, G, N, Cg).transpose(0, 2, 1, 3).reshape(B, N, C)
-        k = nn.Dense(C, name="proj_k")(kv)
-        v = nn.Dense(C, name="proj_v")(kv)
+        k = Dense(C, name="proj_k")(kv)
+        v = Dense(C, name="proj_v")(kv)
 
         # --- streamed attention with rpe bias (TSA_deform_attn.py:245-330) ---
         rpe = self.param(
@@ -162,7 +162,7 @@ class TSADeformableAttention(nn.Module):
             ),
         )
         out = _merge_heads(out).reshape(B, H, W, C)
-        out = nn.Dense(C, name="proj_out")(out)
+        out = Dense(C, name="proj_out")(out)
         out = nn.Dropout(self.proj_drop_rate, deterministic=deterministic)(out)
         return out
 
@@ -223,15 +223,15 @@ class SCADeformableAttention(nn.Module):
 
         # K/V projections are shared across views (SCA_deform_attn.py:126-139,
         # applied inside the view loop at :312-321).
-        proj_k = nn.Dense(C, name="proj_k")
-        proj_v = nn.Dense(C, name="proj_v")
+        proj_k = Dense(C, name="proj_k")
+        proj_v = Dense(C, name="proj_v")
 
         view_outputs = []
         for view in range(self.n_views):
             # --- per-view offset head (cf. conv_offset_m{view},
             # SCA_deform_attn.py:56-121; see module docstring for the
             # shape-consistent redesign) ---
-            off = nn.Conv(
+            off = Conv(
                 Cg * d,
                 (1, 1),
                 feature_group_count=Cg,
@@ -239,7 +239,7 @@ class SCADeformableAttention(nn.Module):
             )(qg)
             off = nn.LayerNorm(name=f"offset_norm_m{view}")(off)
             off = nn.gelu(off)
-            off = nn.Conv(
+            off = Conv(
                 2 * d,
                 (2, 1),
                 strides=(2, 1),
@@ -290,6 +290,6 @@ class SCADeformableAttention(nn.Module):
             view_outputs.append(_merge_heads(out).reshape(B, H, W, C))
 
         out = jnp.concatenate(view_outputs, axis=-1)  # (B, H, W, V*C)
-        out = nn.Dense(C, name="proj_out")(out)
+        out = Dense(C, name="proj_out")(out)
         out = nn.Dropout(self.proj_drop_rate, deterministic=deterministic)(out)
         return out

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from bevrender_tpu.models.layers import Conv
+
 
 class BasicBlock(nn.Module):
     """ResNet basic block (img_backbone.py:95-161)."""
@@ -31,18 +33,18 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         identity = x
-        y = nn.Conv(
+        y = Conv(
             self.out_channels, (3, 3), strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)), name="conv1",
         )(x)
         y = self.norm(not train, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(
+        y = Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="conv2"
         )(y)
         y = self.norm(not train, name="bn2")(y)
         if self.is_first_block and self.stride != 1:
-            identity = nn.Conv(
+            identity = Conv(
                 self.out_channels, (1, 1), strides=(self.stride, self.stride),
                 name="down_conv",
             )(identity)
@@ -62,19 +64,19 @@ class BottleNeck(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         identity = x
-        y = nn.Conv(self.out_channels, (1, 1), name="conv1")(x)
+        y = Conv(self.out_channels, (1, 1), name="conv1")(x)
         y = self.norm(not train, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(
+        y = Conv(
             self.out_channels, (3, 3), strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)), name="conv2",
         )(y)
         y = self.norm(not train, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.out_channels * self.expansion, (1, 1), name="conv3")(y)
+        y = Conv(self.out_channels * self.expansion, (1, 1), name="conv3")(y)
         y = self.norm(not train, name="bn3")(y)
         if self.is_first_block:
-            identity = nn.Conv(
+            identity = Conv(
                 self.out_channels * self.expansion, (1, 1),
                 strides=(self.stride, self.stride), name="down_conv",
             )(identity)
@@ -95,7 +97,7 @@ class ResNetTrunk(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        x = nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+        x = Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                     name="stem_conv")(x)
         x = self.norm(not train, name="stem_bn")(x)
         x = nn.relu(x)
@@ -154,7 +156,7 @@ class PatchProjection(nn.Module):
         n_convs = {4: 2, 8: 3, 16: 4}[self.patch_size]
         for i in range(n_convs):
             out = self.embed_dim if i == n_convs - 1 else self.embed_dim // 2
-            x = nn.Conv(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            x = Conv(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                         name=f"conv{i}")(x)
             x = nn.LayerNorm(name=f"norm{i}")(x)
             if i != n_convs - 1:
@@ -170,12 +172,12 @@ class FPNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, top: jax.Array | None):
-        x = nn.Conv(self.out_channels, (1, 1), name="lateral")(x)
+        x = Conv(self.out_channels, (1, 1), name="lateral")(x)
         if not self.is_highest_block and top is not None:
             B, H, W, C = top.shape
             up = jax.image.resize(top, (B, H * 2, W * 2, C), method="bilinear")
-            x = x + nn.Conv(self.out_channels, (1, 1), name="top_proj")(up)
-        out = nn.Conv(
+            x = x + Conv(self.out_channels, (1, 1), name="top_proj")(up)
+        out = Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="out_conv"
         )(x)
         return x, out

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from bevrender_tpu.models.layers import Conv
+
 
 def _upsample2x(x: jax.Array) -> jax.Array:
     B, H, W, C = x.shape
@@ -42,10 +44,10 @@ class DecoderConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         for i in range(3):
-            x = nn.Conv(self.hidden_dim, (3, 3), padding=((1, 1), (1, 1)),
+            x = Conv(self.hidden_dim, (3, 3), padding=((1, 1), (1, 1)),
                         use_bias=False, name=f"conv{i}")(x)
             x = self.norm(not train, name=f"bn{i}")(x)
-        x = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+        x = Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, name="conv3")(x)
         x = self.norm(not train, name="bn3")(x)
         return nn.relu(x)
@@ -62,10 +64,10 @@ class UpsampleBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = _upsample2x(x)
-        x = nn.Conv(self.hidden_dim, (3, 3), padding=((1, 1), (1, 1)),
+        x = Conv(self.hidden_dim, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, name="conv0")(x)
         x = self.norm(not train, name="bn0")(x)
-        x = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+        x = Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, name="conv1")(x)
         x = self.norm(not train, name="bn1")(x)
         return nn.relu(x)
@@ -82,10 +84,10 @@ class UpsampleHead(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = _upsample2x(x)
-        x = nn.Conv(self.hidden_dim, (3, 3), padding=((1, 1), (1, 1)),
+        x = Conv(self.hidden_dim, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, name="conv0")(x)
         x = self.norm(not train, name="bn0")(x)
-        x = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv1")(x)
+        x = Conv(self.out_channels, (1, 1), use_bias=False, name="conv1")(x)
         return nn.sigmoid(x)
 
 
@@ -106,7 +108,7 @@ class BEVImageRenderDecoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         n = self.norm
         # stem: conv7 stride 2 (decoder_img_render.py:12-18)
-        x = nn.Conv(self.hid_dim, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+        x = Conv(self.hid_dim, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, name="stem_conv")(x)
         x = n(not train, name="stem_bn")(x)
         x = nn.relu(x)
@@ -139,8 +141,8 @@ class SimpleDecoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, 4 * H, 4 * W, C), method="bilinear")
-        x = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+        x = Conv(64, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     name="conv0")(x)
         x = self.norm(not train, name="bn0")(x)
-        x = nn.Conv(3, (1, 1), use_bias=False, name="conv1")(x)
+        x = Conv(3, (1, 1), use_bias=False, name="conv1")(x)
         return nn.relu(x)

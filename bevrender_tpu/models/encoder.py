@@ -41,7 +41,7 @@ from bevrender_tpu.config import ModelConfig
 from bevrender_tpu.geometry.ego_motion import project_history_bev
 from bevrender_tpu.models.attention import SCADeformableAttention, TSADeformableAttention
 from bevrender_tpu.models.backbone import build_backbone
-from bevrender_tpu.models.layers import ConvMLP, DropPath, make_norm
+from bevrender_tpu.models.layers import Conv, ConvMLP, DropPath, make_norm
 from bevrender_tpu.parallel.annotate import hint
 
 
@@ -84,7 +84,7 @@ class EncoderLayer(nn.Module):
         # BEV maps stay data-sharded only: the depthwise LPU convs below
         # cannot be channel-partitioned by GSPMD
         x = hint(x, "data", None, None, None)
-        x = x + nn.Conv(
+        x = x + Conv(
             self.dim, (3, 3), padding=((1, 1), (1, 1)),
             feature_group_count=self.dim, name="tsa_lpu",
         )(x)
@@ -110,7 +110,7 @@ class EncoderLayer(nn.Module):
         )
         x = drop_path(x, deterministic) + x0
 
-        x = x + nn.Conv(
+        x = x + Conv(
             self.dim, (3, 3), padding=((1, 1), (1, 1)),
             feature_group_count=self.dim, name="sca_lpu",
         )(x)
@@ -203,11 +203,11 @@ class BEVEncoderStage(nn.Module):
         # stage transition (encoder.py:177-189)
         if self.bev_feat_shape == self.next_bev_feat_shape:
             if self.dim != self.next_dim:
-                bev_query = nn.Conv(self.next_dim, (1, 1), name="transition")(
+                bev_query = Conv(self.next_dim, (1, 1), name="transition")(
                     bev_query
                 )
         elif self.bev_feat_shape > self.next_bev_feat_shape:
-            bev_query = nn.Conv(
+            bev_query = Conv(
                 self.next_dim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                 name="transition",
             )(bev_query)

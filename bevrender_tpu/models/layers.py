@@ -122,18 +122,18 @@ class ConvMLP(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         hidden = self.dim * self.expansion
-        x = nn.Conv(hidden, (1, 1), name="linear1")(x)
+        x = Conv(hidden, (1, 1), name="linear1")(x)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
         # depthwise conv: keep channels unsharded (GSPMD cannot split
         # feature_group_count); TP picks up after it
         x = hint(x, "data", None, None, None)
-        x = x + nn.Conv(
+        x = x + Conv(
             hidden, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=hidden,
             name="dwc",
         )(x)
         x = nn.gelu(x)
         x = hint(x, "data", None, None, "model")  # TP over MLP hidden channels
-        x = nn.Conv(self.dim, (1, 1), name="linear2")(x)
+        x = Conv(self.dim, (1, 1), name="linear2")(x)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
         return x
 
@@ -149,12 +149,28 @@ class FeedForwardLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        y = nn.Dense(self.hidden_dim)(x)
+        y = Dense(self.hidden_dim)(x)
         y = nn.gelu(y)
         y = nn.Dropout(self.drop_rate, deterministic=deterministic)(y)
-        y = nn.Dense(self.in_dim)(y)
+        y = Dense(self.in_dim)(y)
         y = nn.Dropout(self.drop_rate, deterministic=deterministic)(y)
         return y
+
+
+# Weight-init parity with BEVRender.init_weights (bevrender.py:152-173):
+# Conv2d -> Kaiming normal (fan_out, relu); Linear -> Xavier uniform.
+KAIMING_CONV = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+XAVIER_DENSE = nn.initializers.xavier_uniform()
+
+
+def Conv(*args, **kw):
+    kw.setdefault("kernel_init", KAIMING_CONV)
+    return nn.Conv(*args, **kw)
+
+
+def Dense(*args, **kw):
+    kw.setdefault("kernel_init", XAVIER_DENSE)
+    return nn.Dense(*args, **kw)
 
 
 def trunc_normal_init(std: float):

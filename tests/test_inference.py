@@ -1,0 +1,113 @@
+"""Registration pipeline tests: tile database, top-k matching, recall,
+streaming serving step, map loader, profiling utils."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bevrender_tpu.config import Config, tiny_model_config
+from bevrender_tpu.data.dataset import SyntheticDataset
+from bevrender_tpu.data.prefetch import collate
+from bevrender_tpu.inference.register import RegistrationPipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    cfg = Config()
+    cfg.model = tiny_model_config()
+    cfg.data.window_num_imgs = 2
+    ds = SyntheticDataset(n_items=6, num_views=2, window_num_imgs=2,
+                          img_height=32, img_width=32, map_tile=32)
+    batch = collate([ds[i] for i in range(2)])
+    from bevrender_tpu.models.bevrender import BEVRenderModel
+
+    model = BEVRenderModel(cfg, mode="inference")
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    return RegistrationPipeline(cfg, variables), ds, batch
+
+
+class TestRegistration:
+    def test_render_shape(self, pipeline):
+        pipe, ds, batch = pipeline
+        out = pipe.render(batch)
+        assert out.shape == (2, 32, 32, 3)
+
+    def test_tile_database_and_register(self, pipeline):
+        pipe, ds, batch = pipeline
+        rng = np.random.default_rng(0)
+        tiles = [rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+                 for _ in range(7)]
+        db = pipe.build_tile_database(tiles)
+        assert db.shape == (7, 32 * 32 * 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(db), axis=-1), 1.0, rtol=1e-5
+        )
+        rendered, idx, dist = pipe.register(batch, top_k=3)
+        assert idx.shape == (2, 3) and dist.shape == (2, 3)
+        # distances sorted ascending
+        d = np.asarray(dist)
+        assert (np.diff(d, axis=-1) >= -1e-6).all()
+
+    def test_register_finds_exact_tile(self, pipeline):
+        """A tile equal to the render itself must rank first."""
+        pipe, ds, batch = pipeline
+        rendered = np.asarray(pipe.render(batch))
+        rng = np.random.default_rng(1)
+        tiles = [rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+                 for _ in range(4)]
+        tiles.insert(2, rendered[0])  # ground truth at index 2
+        pipe.build_tile_database(tiles)
+        _, idx, _ = pipe.register(batch, top_k=1)
+        assert int(idx[0, 0]) == 2
+
+    def test_evaluate_recall_contract(self, pipeline):
+        pipe, ds, batch = pipeline
+        metrics = pipe.evaluate_recall(ds, batch_size=2)
+        assert set(metrics) == {"R@1", "R@5", "R@10"}
+        assert 0.0 <= metrics["R@1"] <= metrics["R@10"] <= 100.0
+
+    def test_streaming_step_carries_state(self, pipeline):
+        pipe, ds, batch = pipeline
+        step = pipe.make_streaming_step()
+        tiles = jnp.eye(4, 32 * 32 * 3)
+        frame = batch["camera"][:, -1]
+        pose_pair = batch["vehicle_pose"][:, -2:]
+        vtype = batch["vehicle_type"]
+        bev1, out1, idx1 = step(pipe.variables, frame, None, pose_pair, vtype, tiles)
+        bev2, out2, idx2 = step(pipe.variables, frame, bev1, pose_pair, vtype, tiles)
+        assert bev1.shape == bev2.shape and out1.shape == out2.shape
+        # carrying history must change the BEV state
+        assert float(jnp.abs(bev1 - bev2).max()) > 1e-6
+
+
+class TestMapLoader:
+    def test_tiles_and_month_key(self, tmp_path):
+        from PIL import Image
+
+        from bevrender_tpu.data.maploader import MapLoader
+
+        arr = (np.random.default_rng(0).uniform(0, 255, (48, 64, 3))).astype(
+            np.uint8
+        )
+        p = tmp_path / "map.png"
+        Image.fromarray(arr).save(p)
+        loader = MapLoader({"june": str(p)}, "june")
+        full = loader.get_map_array()
+        assert full.shape == (48, 64, 3) and full.max() <= 1.0
+        tiles = list(loader.iter_tiles(tile=16, stride=16))
+        assert len(tiles) == 3 * 4
+        (y, x), t = tiles[5]
+        np.testing.assert_allclose(t, full[y : y + 16, x : x + 16])
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        from bevrender_tpu.utils.profiling import StepTimer
+
+        timer = StepTimer()
+        for _ in range(3):
+            with timer.step(jnp.ones(4)):
+                _ = jnp.ones(4) * 2
+        stats = timer.stats()
+        assert stats["steps"] == 2 and stats["mean_s"] >= 0
