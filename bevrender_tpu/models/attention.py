@@ -93,13 +93,22 @@ class TSADeformableAttention(nn.Module):
         query: jax.Array,  # (B, H, W, C)
         prev_bev: Optional[jax.Array],  # (B, H, W, C) or None
         deterministic: bool = True,
+        has_prev: Optional[jax.Array] = None,
     ) -> jax.Array:
         B, H, W, C = query.shape
         G = self.n_groups
         Cg = C // G
         Hpg = self.n_heads // G
         ch = C // self.n_heads
-        x = query if prev_bev is None else prev_bev
+        # degenerate self-attention when no history (TSA_deform_attn.py:141-143);
+        # `has_prev` is the traced-bool variant used under lax/nn.scan where
+        # prev_bev is always an array.
+        if prev_bev is None:
+            x = query
+        elif has_prev is None:
+            x = prev_bev
+        else:
+            x = jnp.where(has_prev, prev_bev, query)
 
         # --- offsets from grouped query (TSA_deform_attn.py:54-68,158-174) ---
         qg = query.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4)

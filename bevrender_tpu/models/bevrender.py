@@ -84,18 +84,44 @@ class BEVRenderNet(nn.Module):
         # --- recurrent history warm-up (bevrender.py:179-221) ---
         # Runs in eval semantics (deterministic, BN running stats, history
         # alignment ON) with gradients cut, like eval()+no_grad upstream.
+        # The loop is an nn.scan with broadcast params: the encoder traces
+        # ONCE for any window length instead of T-1 times (frame 0's
+        # degenerate no-history mode rides the traced `has_prev` flag,
+        # selected inside TSA — TSA_deform_attn.py:141-143 semantics).
         prev_bev = None
-        for t in range(T - 1):
-            prev_bev = self.encoder(
-                bev_query,
-                images[:, t],
-                prev_bev,
-                jax.lax.dynamic_slice_in_dim(vehicle_pose, t, 2, axis=1),
-                ref_pts,
-                train=False,
-                align_history=True,
+        if T > 1:
+            frames = jnp.swapaxes(images[:, : T - 1], 0, 1)  # (T-1, B, ...)
+            pose_pairs = jnp.stack(
+                [
+                    jax.lax.dynamic_slice_in_dim(vehicle_pose, t, 2, axis=1)
+                    for t in range(T - 1)
+                ]
+            )  # (T-1, B, 2, 3)
+            has_prev = jnp.arange(T - 1) > 0
+
+            def history_step(encoder, carry, xt):
+                frame, pose_pair, hp = xt
+                bev = encoder(
+                    bev_query,
+                    frame,
+                    carry,
+                    pose_pair,
+                    ref_pts,
+                    train=False,
+                    align_history=True,
+                    has_prev=hp,
+                )
+                return jax.lax.stop_gradient(bev), None
+
+            scan = nn.scan(
+                history_step,
+                variable_broadcast=["params", "batch_stats"],
+                split_rngs={"dropout": True, "params": False},
+                in_axes=0,
+                out_axes=0,
             )
-            prev_bev = jax.lax.stop_gradient(prev_bev)
+            prev_bev, _ = scan(self.encoder, jnp.zeros_like(bev_query),
+                               (frames, pose_pairs, has_prev))
 
         # --- gradient-carrying pass on the current frame (bevrender.py:138-146)
         # history alignment mirrors the reference's train/eval gating

@@ -72,6 +72,7 @@ class EncoderLayer(nn.Module):
         reference_points: jax.Array,  # (V, H//2, W*d, 2)
         train: bool = False,
         align_history: bool = True,
+        has_prev: Optional[jax.Array] = None,
     ) -> jax.Array:
         deterministic = not train
         layer_norm = nn.LayerNorm(name="layer_norm")  # shared across 4 uses
@@ -101,7 +102,7 @@ class EncoderLayer(nn.Module):
             chunk=self.attn_chunk,
             use_pallas=self.use_pallas,
             name="temporal_self_attn",
-        )(layer_norm(x), prev_bev, deterministic)
+        )(layer_norm(x), prev_bev, deterministic, has_prev)
         x = drop_path(x, deterministic) + x0
 
         x0 = x
@@ -171,6 +172,7 @@ class BEVEncoderStage(nn.Module):
         reference_points,
         train=False,
         align_history=True,
+        has_prev=None,
     ):
         for i in range(self.depth):
             bev_query = EncoderLayer(
@@ -198,6 +200,7 @@ class BEVEncoderStage(nn.Module):
                 reference_points,
                 train,
                 align_history,
+                has_prev,
             )
 
         # stage transition (encoder.py:177-189)
@@ -239,6 +242,7 @@ class BEVEncoder(nn.Module):
         reference_points: Tuple[jax.Array, ...],
         train: bool = False,
         align_history: bool = True,
+        has_prev: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.cfg
         norm = make_norm(cfg.norm, axis_name=self.axis_name if train else None)
@@ -292,5 +296,6 @@ class BEVEncoder(nn.Module):
                 reference_points[s],
                 train,
                 align_history,
+                has_prev,
             )
         return bev_query

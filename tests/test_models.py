@@ -267,3 +267,43 @@ class TestLatticeWinKernel:
         np.testing.assert_allclose(
             np.asarray(g_kernel), np.asarray(g_xla), rtol=1e-5, atol=1e-5
         )
+
+
+class TestHistoryRecurrence:
+    def test_call_equals_manual_encode_chain(self):
+        """__call__'s recurrent history must equal manually chaining
+        encode_step (same eval semantics) + decode."""
+        from bevrender_tpu.models.bevrender import BEVRenderModel
+
+        cfg = Config()
+        cfg.model = tiny_model_config()
+        cfg.data.window_num_imgs = 2  # T=3
+        ds = SyntheticDataset(n_items=2, num_views=2, window_num_imgs=2,
+                              img_height=32, img_width=32, map_tile=32)
+        batch = collate([ds[0], ds[1]])
+        model = BEVRenderModel(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        want = model.apply(variables, batch["camera"], batch["vehicle_pose"],
+                           batch["vehicle_type"], train=False)
+
+        net = model.net
+        refs = model.reference_points
+        cam = jnp.asarray(batch["camera"])
+        pose = jnp.asarray(batch["vehicle_pose"])
+        vt = jnp.asarray(batch["vehicle_type"])
+        bev = None
+        T = cam.shape[1]
+        for t in range(T):
+            pose_pair = jax.lax.dynamic_slice_in_dim(
+                pose, min(t, T - 2), 2, axis=1
+            )
+            bev = net.apply(
+                variables, cam[:, t], bev, pose_pair, vt, refs,
+                method=lambda n, *a: n.encode_step(*a),
+            )
+        got = net.apply(variables, bev, method=lambda n, *a: n.decode(*a))
+        # __call__'s history runs under nn.scan (different XLA fusion of the
+        # bf16 bias path than the unrolled chain) -> bf16-level tolerance
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-3, atol=5e-3
+        )
