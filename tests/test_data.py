@@ -158,3 +158,27 @@ class TestLoader:
         ds = SyntheticDataset(n_items=12, img_height=4, img_width=4, map_tile=4)
         loader = DataLoader(ds, batch_size=2, sampler=np.arange(6))
         assert len(loader) == 3
+
+
+class TestConfigParity:
+    def test_print_and_save_formats(self, tmp_path):
+        from bevrender_tpu.config import Config, get_config
+
+        cfg = Config()
+        text = cfg.print_config()
+        assert "Configuration:" in text and "DAT_BEV_SHAPE" in text
+        cfg.save_config_given_dir(str(tmp_path))
+        saved = (tmp_path / "config.yaml").read_text()
+        assert "SEED:" in saved and "BEV_BOUND:" in saved
+        ref = get_config()
+        assert ref["DAT_NUM_STAGES"] == 7  # populated, unlike the redacted ref
+
+    def test_json_roundtrip(self):
+        from bevrender_tpu.config import Config
+
+        cfg = Config()
+        cfg.train.batch_size = 7
+        cfg.model.bev_shapes = (28,) * 8
+        c2 = Config.from_json(cfg.to_json())
+        assert c2.train.batch_size == 7
+        assert c2.model.bev_shapes == (28,) * 8
