@@ -174,6 +174,10 @@ class BEVRenderModel:
         self.mode = mode
         cfg = config.model
 
+        from bevrender_tpu.models.layers import set_default_compute_dtype
+
+        set_default_compute_dtype(cfg.dtype)
+
         imu_to_rgb = cfg.imu_to_rgb
         K = cfg.intrinsic_k
         if imu_to_rgb is None or K is None:

@@ -162,14 +162,28 @@ class FeedForwardLayer(nn.Module):
 KAIMING_CONV = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 XAVIER_DENSE = nn.initializers.xavier_uniform()
 
+# Process-wide compute dtype for conv/dense layers (params stay float32;
+# norms and softmax auto-promote to f32). Set from ModelConfig.dtype at model
+# build (BEVRenderModel.__init__); bf16 roughly doubles MXU rate and halves
+# activation bandwidth on TPU.
+_COMPUTE_DTYPE = [None]
+
+
+def set_default_compute_dtype(dtype: Optional[str]) -> None:
+    _COMPUTE_DTYPE[0] = (
+        jnp.bfloat16 if dtype in ("bfloat16", "bf16") else None
+    )
+
 
 def Conv(*args, **kw):
     kw.setdefault("kernel_init", KAIMING_CONV)
+    kw.setdefault("dtype", _COMPUTE_DTYPE[0])
     return nn.Conv(*args, **kw)
 
 
 def Dense(*args, **kw):
     kw.setdefault("kernel_init", XAVIER_DENSE)
+    kw.setdefault("dtype", _COMPUTE_DTYPE[0])
     return nn.Dense(*args, **kw)
 
 

@@ -307,3 +307,30 @@ class TestHistoryRecurrence:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=5e-3, atol=5e-3
         )
+
+
+class TestBF16Compute:
+    def test_bf16_model_forward_close_to_f32(self):
+        from bevrender_tpu.models.bevrender import BEVRenderModel
+        from bevrender_tpu.models.layers import set_default_compute_dtype
+
+        cfg = Config()
+        cfg.model = tiny_model_config()
+        cfg.data.window_num_imgs = 1
+        ds = SyntheticDataset(n_items=2, num_views=2, window_num_imgs=1,
+                              img_height=32, img_width=32, map_tile=32)
+        batch = collate([ds[0], ds[1]])
+
+        model32 = BEVRenderModel(cfg)  # sets f32
+        variables = model32.init(jax.random.PRNGKey(0), batch)
+        out32 = model32.apply(variables, batch["camera"], batch["vehicle_pose"],
+                              batch["vehicle_type"], train=False)
+
+        cfg.model.dtype = "bfloat16"
+        model16 = BEVRenderModel(cfg)
+        out16 = model16.apply(variables, batch["camera"], batch["vehicle_pose"],
+                              batch["vehicle_type"], train=False)
+        set_default_compute_dtype("float32")
+        assert jnp.isfinite(out16).all()
+        # sigmoid-bounded outputs, bf16 activations: coarse agreement
+        assert float(jnp.abs(out16 - out32).mean()) < 0.05
