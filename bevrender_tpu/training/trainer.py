@@ -279,6 +279,34 @@ class Trainer:
             )
             lr = float(state.opt_state.hyperparams["learning_rate"])
             self.metrics.log({**m, "learning_rate": lr, "epoch": epoch})
+            # composite train image at the configured cadence
+            # (train.py:283-294; only when wandb is active)
+            if (
+                self.image_rendering
+                and self.metrics.run is not None
+                and idx % max(self.tc.wandb_log_img_freq_train, 1) == 0
+            ):
+                variables = {"params": state.params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                render = self.model.apply(
+                    variables, batch["camera"], batch["vehicle_pose"],
+                    batch["vehicle_type"], train=False,
+                )
+                img = self.get_log_image(
+                    np.asarray(render[0]),
+                    np.asarray(batch["map"][0]),
+                    np.asarray(batch["camera"][0, -1]),
+                )
+                try:
+                    import wandb
+
+                    self.metrics.log({
+                        "train_image": wandb.Image(img, caption=f"train epoch {epoch}"),
+                        "epoch": epoch,
+                    })
+                except Exception:  # pragma: no cover - wandb optional
+                    pass
         epoch_metrics["train_epoch_loss"] = tr_loss
 
         run_val = apply_validation and (epoch + 1) % self.tc.validation_frequency == 0
