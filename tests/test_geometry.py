@@ -145,3 +145,42 @@ class TestAffineWarp:
         # rotate by r then -r (both about center, no translation): near-identity
         err = np.abs(np.asarray(out)[:, 5:12, 5:12] - np.asarray(bev)[:, 5:12, 5:12])
         assert err.mean() < 0.02
+
+
+class TestMultiVehicleType:
+    def test_model_selects_per_type_reference_points(self):
+        """Two vehicle types with different rigs must produce different
+        renders through the same params (SCA.py:78-85 per-type lookup)."""
+        import jax
+        import jax.numpy as jnp
+
+        from bevrender_tpu.config import Config, tiny_model_config
+        from bevrender_tpu.data.dataset import SyntheticDataset
+        from bevrender_tpu.data.prefetch import collate
+        from bevrender_tpu.models.bevrender import BEVRenderModel
+
+        rig0, K0 = default_camera_rig(n_views=2, img_width=32, img_height=32,
+                                      yaw_spread_deg=30.0)
+        rig1, K1 = default_camera_rig(n_views=2, img_width=32, img_height=32,
+                                      yaw_spread_deg=80.0)
+        cfg = Config()
+        cfg.model = tiny_model_config(
+            imu_to_rgb={0: rig0[0], 1: rig1[0]},
+            intrinsic_k={0: K0[0], 1: K1[0]},
+        )
+        cfg.data.window_num_imgs = 1
+        ds = SyntheticDataset(n_items=2, num_views=2, window_num_imgs=1,
+                              img_height=32, img_width=32, map_tile=32,
+                              n_vehicle_types=2)
+        batch = collate([ds[0], ds[0]])
+        model = BEVRenderModel(cfg)
+        assert model.vehicle_types == [0, 1]
+        variables = model.init(jax.random.PRNGKey(0), batch)
+
+        vt0 = jnp.zeros_like(jnp.asarray(batch["vehicle_type"]))
+        vt1 = jnp.ones_like(vt0)
+        out0 = model.apply(variables, batch["camera"], batch["vehicle_pose"],
+                           vt0, train=False)
+        out1 = model.apply(variables, batch["camera"], batch["vehicle_pose"],
+                           vt1, train=False)
+        assert float(jnp.abs(out0 - out1).max()) > 1e-6
