@@ -31,17 +31,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _win_kernel(ys_ref, ms_ref, t3_ref, out_ref, *, h1: int, tn: int, npk: int):
-    """ys/ms: (BG*Np,) int32 scalar-prefetch; t3: (1, m_max, Ypad, WH) VMEM;
-    out: (1, 1, tn, 3, h1, WH) VMEM."""
+def _win_kernel(packed_ref, t3_ref, out_ref, *, h1: int, tn: int, npk: int):
+    """packed starts: (BG*Np,) int32 scalar-prefetch, ys*2**16 + ms (SMEM is
+    ~1 MB — two separate index arrays overflow it at B*G*N ~ 128k keys);
+    t3: (1, m_max, Ypad, WH) VMEM; out: (1, 1, tn, 3, h1, WH) VMEM."""
     bg = pl.program_id(0)
     t = pl.program_id(1)
     base = bg * npk + t * tn
     h1_al = ((h1 + 7 + 7) // 8) * 8  # aligned read covers shift 0..7
 
     def body(i, carry):
-        ys = ys_ref[base + i]
-        ms = ms_ref[base + i]
+        packed = packed_ref[base + i]
+        ys = packed >> 16
+        ms = packed & 0xFFFF
         ys_base = pl.multiple_of((ys // 8) * 8, 8)
         blk = t3_ref[0, pl.ds(ms, 3), pl.ds(ys_base, h1_al), :]  # (3, h1_al, WH)
         shift = ys - ys_base
@@ -53,7 +55,7 @@ def _win_kernel(ys_ref, ms_ref, t3_ref, out_ref, *, h1: int, tn: int, npk: int):
     jax.lax.fori_loop(0, tn, body, 0)
 
 
-def _win_bwd_kernel(ys_ref, ms_ref, gwin_ref, dt3_ref, *, h1: int, tn: int,
+def _win_bwd_kernel(packed_ref, gwin_ref, dt3_ref, *, h1: int, tn: int,
                     npk: int, G: int):
     """Scatter-add cotangent windows back into the table gradient.
 
@@ -73,8 +75,9 @@ def _win_bwd_kernel(ys_ref, ms_ref, gwin_ref, dt3_ref, *, h1: int, tn: int,
     base = (b * G + g) * npk + t * tn
 
     def body(i, carry):
-        ys = ys_ref[base + i]
-        ms = ms_ref[base + i]
+        packed = packed_ref[base + i]
+        ys = packed >> 16
+        ms = packed & 0xFFFF
         ys_base = pl.multiple_of((ys // 8) * 8, 8)
         shift = ys - ys_base
         gw = gwin_ref[0, 0, i].astype(jnp.float32)  # (3, h1, WH)
@@ -123,25 +126,26 @@ def _lattice_windows_bwd(h1, interpret, res, g_out):
             g_out, ((0, 0), (0, 0), (0, n_pad), (0, 0), (0, 0), (0, 0))
         )
     Np = N + n_pad
-    ys = y_start.reshape(B * G * Np).astype(jnp.int32)
-    ms = m_start.reshape(B * G * Np).astype(jnp.int32)
+    packed = (
+        (y_start.astype(jnp.int32) << 16) | m_start.astype(jnp.int32)
+    ).reshape(B * G * Np)
     h1_al = ((h1 + 14) // 8) * 8
     y_pad = (-(Y) % 8) + h1_al
     Ypad = Y + y_pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(G, B, Np // TN),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, TN, 3, h1, WH),
-                lambda g, b, t, ys_ref, ms_ref: (b, g, t, 0, 0, 0),
+                lambda g, b, t, p_ref: (b, g, t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, m_max, Ypad, WH),
-            lambda g, b, t, ys_ref, ms_ref: (g, 0, 0, 0),
+            lambda g, b, t, p_ref: (g, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -150,7 +154,7 @@ def _lattice_windows_bwd(h1, interpret, res, g_out):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G, m_max, Ypad, WH), jnp.float32),
         interpret=interpret,
-    )(ys, ms, g_out)
+    )(packed, g_out)
     dt3 = jnp.swapaxes(dt3m[:, :, :Y], 1, 2).astype(dtype)
     zi = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return dt3, zi(y_start[:, :, :N] if n_pad else y_start), zi(
@@ -177,8 +181,9 @@ def _lattice_windows_fwd_impl(
         y_start = jnp.pad(y_start, ((0, 0), (0, 0), (0, n_pad)))
         m_start = jnp.pad(m_start, ((0, 0), (0, 0), (0, n_pad)))
     Np = N + n_pad
-    ys = y_start.reshape(B * G * Np).astype(jnp.int32)
-    ms = m_start.reshape(B * G * Np).astype(jnp.int32)
+    packed = (
+        (y_start.astype(jnp.int32) << 16) | m_start.astype(jnp.int32)
+    ).reshape(B * G * Np)
 
     # (G, m_max, Ypad, WH) with Y padded so aligned reads stay in bounds
     h1_al = ((h1 + 14) // 8) * 8
@@ -187,18 +192,18 @@ def _lattice_windows_fwd_impl(
     Ypad = Y + y_pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(B * G, Np // TN),
         in_specs=[
             pl.BlockSpec(
                 (1, m_max, Ypad, WH),
-                lambda bg, t, ys_ref, ms_ref: (bg % G, 0, 0, 0),
+                lambda bg, t, p_ref: (bg % G, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, TN, 3, h1, WH),
-            lambda bg, t, ys_ref, ms_ref: (bg // G, bg % G, t, 0, 0, 0),
+            lambda bg, t, p_ref: (bg // G, bg % G, t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -207,7 +212,7 @@ def _lattice_windows_fwd_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, G, Np, 3, h1, WH), t3.dtype),
         interpret=interpret,
-    )(ys, ms, t3m)
+    )(packed, t3m)
     if n_pad:
         out = out[:, :, :N]
     return out
