@@ -174,26 +174,31 @@ class BEVEncoderStage(nn.Module):
         align_history=True,
         has_prev=None,
     ):
-        for i in range(self.depth):
-            bev_query = EncoderLayer(
-                dim=self.dim,
-                bev_feat_shape=self.bev_feat_shape,
-                bev_depth_dim=self.bev_depth_dim,
-                n_heads=self.n_heads,
-                n_groups=self.n_groups,
-                stride=self.stride,
-                kernel_size=self.kernel_size,
-                n_views=self.n_views,
-                expansion=self.expansion,
-                scale_offset_range=self.scale_offset_range,
-                drop_rate=self.drop_rate,
-                attn_drop_rate=self.attn_drop_rate,
-                drop_path_rate=self.drop_path_rate,
-                attn_chunk=self.attn_chunk,
-                use_pallas=self.use_pallas,
-                name=f"layer{i}",
-            )(
-                bev_query,
+        # The stage's `depth` layers share hyper-parameters, so they run as an
+        # nn.scan over depth-stacked params: the layer body traces/compiles
+        # ONCE per stage instead of `depth` times (the dominant compile cost).
+        layer = EncoderLayer(
+            dim=self.dim,
+            bev_feat_shape=self.bev_feat_shape,
+            bev_depth_dim=self.bev_depth_dim,
+            n_heads=self.n_heads,
+            n_groups=self.n_groups,
+            stride=self.stride,
+            kernel_size=self.kernel_size,
+            n_views=self.n_views,
+            expansion=self.expansion,
+            scale_offset_range=self.scale_offset_range,
+            drop_rate=self.drop_rate,
+            attn_drop_rate=self.attn_drop_rate,
+            drop_path_rate=self.drop_path_rate,
+            attn_chunk=self.attn_chunk,
+            use_pallas=self.use_pallas,
+            name="layers",
+        )
+
+        def layer_body(mod, carry, _):
+            out = mod(
+                carry,
                 img_feat,
                 prev_bev,
                 vehicle_pose,
@@ -202,6 +207,15 @@ class BEVEncoderStage(nn.Module):
                 align_history,
                 has_prev,
             )
+            return out, None
+
+        scan = nn.scan(
+            layer_body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.depth,
+        )
+        bev_query, _ = scan(layer, bev_query, None)
 
         # stage transition (encoder.py:177-189)
         if self.bev_feat_shape == self.next_bev_feat_shape:
