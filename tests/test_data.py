@@ -182,3 +182,47 @@ class TestConfigParity:
         c2 = Config.from_json(cfg.to_json())
         assert c2.train.batch_size == 7
         assert c2.model.bev_shapes == (28,) * 8
+
+    def test_reference_dict_drives_model(self):
+        """A user's reference-style UPPER_CASE dict must drop in end-to-end
+        (Config.from_reference_dict -> BEVRenderModel forward)."""
+        import jax
+        import jax.numpy as jnp
+
+        from bevrender_tpu.config import Config
+        from bevrender_tpu.data.dataset import SyntheticDataset
+        from bevrender_tpu.data.prefetch import collate
+        from bevrender_tpu.models.bevrender import BEVRenderModel
+
+        ref = {
+            "DAT_BEV_SHAPE": [8, 8, 8],
+            "DAT_EMBED_DIMS": [8, 8, 8],
+            "DAT_NUM_STAGES": 2,
+            "DAT_VIT_DEPTHS": [1, 1],
+            "DAT_NUM_HEADS": [2, 2],
+            "DAT_STRIDES": [2, 2],
+            "DAT_NUM_GROUPS": [1, 1],
+            "DAT_K_SIZES": [3, 3],
+            "DAT_EXPANSION": 2,
+            "DAT_BEV_DEPTH_DIM": 2,
+            "DAT_BACKBONE_TYPE": "PatchProjection",
+            "DAT_DROP_PATH_RATE": 0.0,
+            "NUM_VIEWS": 2,
+            "IMG_HEIGHT": 32,
+            "IMG_WIDTH": 32,
+            "ORI_IMG_HEIGHT": 32,
+            "ORI_IMG_WIDTH": 32,
+            "WINDOW_NUM_IMGS": 1,
+            "BATCH_SIZE": 2,
+            "LOSS_TYPE": "MSE",
+        }
+        cfg = Config.from_reference_dict(ref)
+        assert cfg.model.n_stages == 2 and cfg.model.backbone == "PatchProjection"
+        ds = SyntheticDataset(n_items=2, num_views=2, window_num_imgs=1,
+                              img_height=32, img_width=32, map_tile=32)
+        batch = collate([ds[0], ds[1]])
+        model = BEVRenderModel(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(variables, batch["camera"], batch["vehicle_pose"],
+                          batch["vehicle_type"], train=False)
+        assert out.shape == (2, 32, 32, 3) and bool(jnp.isfinite(out).all())
