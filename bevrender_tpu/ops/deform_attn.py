@@ -150,7 +150,8 @@ def _lattice_bias(
 
     if use_kernel and jax.default_backend() == "tpu":
         # Pallas path: table resident in VMEM, per-key windows copied
-        # on-chip (ops/pallas/lattice_win.py). Inference-only (no VJP).
+        # on-chip (ops/pallas/lattice_win.py); custom VJP scatters window
+        # cotangents back into the table gradient.
         from bevrender_tpu.ops.pallas.lattice_win import lattice_windows
 
         win = lattice_windows(

@@ -5,8 +5,10 @@ The reference delegates four hot paths to ``torch.nn.functional.grid_sample``
 SCA K/V gather (SCA_deform_attn.py:290-301), SCA rpe-bias sampling
 (SCA_deform_attn.py:379-389), TSA K/V gather (TSA_deform_attn.py:210-217) and
 TSA rpe-bias sampling (TSA_deform_attn.py:292-302). This module provides the
-pure-XLA implementation (gather + lerp); a fused Pallas TPU kernel lives in
-``bevrender_tpu.ops.pallas``.
+pure-XLA implementation (gather + lerp) used for the K/V gathers; the rpe-bias
+sampling call sites do not go through this module on the hot path — they use
+the lattice-exact block-sliced formulation in ``bevrender_tpu.ops.deform_attn``
+(with a Pallas window kernel in ``bevrender_tpu.ops.pallas`` on TPU).
 
 Layout is NHWC (TPU-native): channels ride the 128-wide lane dimension so the
 four corner gathers are contiguous row gathers. Gradients flow to both the

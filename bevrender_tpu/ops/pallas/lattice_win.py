@@ -14,11 +14,11 @@ Mosaic constraints shape the layout: the last two block dims are the
 y window is read from an 8-aligned base (``pl.multiple_of``), and the
 residual 0..7 shift resolves with an 8-way ``lax.switch`` over static slices.
 
-Start indices arrive via scalar prefetch (SMEM). Used on the
-inference/deterministic paths (bench, validation, history recurrence — the
-latter sits under ``stop_gradient`` so no VJP is required); the training pass
-keeps the XLA path, whose VJP is the scatter transpose XLA derives
-automatically.
+Start indices arrive via scalar prefetch (SMEM). A custom VJP is wired
+(``defvjp`` below): the forward is this extraction kernel and the backward is
+a scatter-add kernel accumulating window cotangents into the table gradient,
+so the kernel serves both training and inference paths when
+``use_pallas=True``.
 """
 
 from __future__ import annotations
