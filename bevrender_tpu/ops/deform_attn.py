@@ -37,6 +37,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bilinear_table_lookup(
@@ -189,6 +190,117 @@ def _lattice_bias(
     return bias.astype(jnp.float32)
 
 
+def _lattice_geometry(table_shape, k_pos, H: int, W: int):
+    """Shared per-key geometry of the lattice rpe lookup.
+
+    Returns (ys, ms, shift, wy, f, u0, g, m_max, PAD) where ys/ms are the
+    clipped integer window starts into the padded rearranged table, shift is
+    ys % 8 (the sublane phase the Pallas kernel resolves), and wy/f are the
+    bilinear fractions (computed from the *unclipped* starts, matching
+    ``_lattice_bias``).
+    """
+    G, Hpg, Ht, Wt = table_shape
+    if Ht != 2 * H - 1:
+        raise ValueError(f"lattice bias requires Ht == 2H-1, got {Ht} vs H={H}")
+    PAD = 4
+    Ay = (Ht - 1) / 4.0
+    Ax = (Wt - 1) / 4.0
+    ky = k_pos[..., 0]
+    kx = k_pos[..., 1]
+    sy = -Ay * ky + (Ht - 1) / 2.0 - (H - 1) / 2.0
+    sx_shift = -Ax * kx + (Wt - 1) / 2.0 - Ax
+    u_shift = Ax * (-1.0 + 2.0 * np.arange(W) / (W - 1)) + Ax
+    u0 = np.floor(u_shift).astype(np.int32)
+    g = (u_shift - u0).astype(np.float32)
+    m_max = int(np.ceil((Wt - 1) / 2.0)) + 3 + PAD
+    y0 = jnp.floor(sy)
+    wy = sy - y0
+    s0 = jnp.floor(sx_shift)
+    f = sx_shift - s0
+    ys = jnp.clip(y0.astype(jnp.int32) + PAD, 0, Ht + 2 * PAD - (H + 1))
+    ms = jnp.clip(s0.astype(jnp.int32) + PAD, 0, m_max - 3)
+    shift = ys - (ys // 8) * 8
+    return ys, ms, shift, wy, f, u0, g, m_max, PAD
+
+
+def lattice_shift_class(table_shape, k_pos, H: int, W: int) -> jax.Array:
+    """Shift class (0..7) per key; callers sort keys by this before the K/V
+    gather so the Pallas bias kernel executes ~1 class branch per tile instead
+    of 8 (attention over sampled keys is permutation-invariant)."""
+    return _lattice_geometry(table_shape, k_pos, H, W)[2]
+
+
+def _lattice_bias_nm(
+    table: jax.Array,  # (G, Hpg, Ht, Wt)
+    k_pos: jax.Array,  # (B, G, N, 2)
+    H: int,
+    W: int,
+    compute_dtype=jnp.bfloat16,
+    use_kernel: bool = False,
+    interpret: bool = False,
+):
+    """n-major lattice rpe bias: returns ((B, G, Hpg, Np, M) bias, N).
+
+    ``use_kernel=True`` runs the fused Pallas kernel
+    (ops/pallas/lattice_bias.py): extraction + x-mix + shift resolve + y-mix
+    + flatten in VMEM, nothing intermediate in HBM. Np is N padded to the
+    kernel tile; the consumer must mask keys >= N before the softmax.
+    The fallback transposes :func:`_lattice_bias` (tests / tiny sites).
+    """
+    G, Hpg, Ht, Wt = table.shape
+    B, _, N, _ = k_pos.shape
+    if not use_kernel:
+        bias = _lattice_bias(table, k_pos, H, W, compute_dtype, False)
+        return jnp.swapaxes(bias, -1, -2), N
+
+    from bevrender_tpu.ops.pallas.lattice_bias import lattice_bias_fused
+
+    ys, ms, shift, wy, f, u0, g, m_max, PAD = _lattice_geometry(
+        table.shape, k_pos, H, W
+    )
+    TN = 128
+    Np = -(-N // TN) * TN
+    pad = Np - N
+    if pad:
+        ys = jnp.pad(ys, ((0, 0), (0, 0), (0, pad)))
+        ms = jnp.pad(ms, ((0, 0), (0, 0), (0, pad)))
+        shift = jnp.pad(shift, ((0, 0), (0, 0), (0, pad)))
+        wy = jnp.pad(wy, ((0, 0), (0, 0), (0, pad)))
+        f = jnp.pad(f, ((0, 0), (0, 0), (0, pad)))
+    packed = ((ys << 16) | ms).reshape(B * G * Np)
+
+    # head-major rearranged table: (G, m_max, Ypad, Hpg*W)
+    Y = Ht + 2 * PAD
+    Tp = jnp.pad(
+        table.astype(compute_dtype),
+        ((0, 0), (0, 0), (PAD, PAD), (PAD, max(PAD, m_max))),
+    )
+    t3 = jnp.stack(
+        [Tp[:, :, :, int(u0[ix]) : int(u0[ix]) + m_max] for ix in range(W)],
+        axis=3,
+    )  # (G, Hpg, Y, W, m_max)
+    t3 = jnp.transpose(t3, (0, 4, 2, 1, 3)).reshape(G, m_max, Y, Hpg * W)
+    from bevrender_tpu.ops.pallas.lattice_bias import _h1al
+
+    y_pad = (-Y % 8) + _h1al(H)
+    t3m = jnp.pad(t3, ((0, 0), (0, 0), (0, y_pad), (0, 0)))
+    gcol = jnp.asarray(np.tile(g, Hpg)).reshape(1, Hpg * W)
+
+    bias = lattice_bias_fused(
+        t3m,
+        wy[..., None].astype(jnp.float32),
+        f[..., None].astype(jnp.float32),
+        shift[..., None].astype(jnp.float32),
+        packed,
+        gcol,
+        H,
+        W,
+        Hpg,
+        interpret,
+    )
+    return bias, N
+
+
 def streamed_deform_attention(
     q: jax.Array,
     k: jax.Array,
@@ -224,24 +336,41 @@ def streamed_deform_attention(
             jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable
         )
         def full_site(q, k, v, k_pos, rpe_table, key):
+            # n-major layout throughout: the fused bias kernel emits
+            # (B, G, Hpg, N, M) directly, so scores are computed keys-major
+            # and the softmax reduces over axis -2 — no (M, N) transposes.
+            bias, n_real = _lattice_bias_nm(
+                rpe_table,
+                k_pos,
+                *lattice_hw,
+                use_kernel=lattice_kernel and jax.default_backend() == "tpu",
+            )
+            Np = bias.shape[3]
+            kp = k
+            vp = v
+            if Np != n_real:
+                padn = Np - n_real
+                kp = jnp.pad(k, ((0, 0),) * 3 + ((0, padn), (0, 0)))
+                vp = jnp.pad(v, ((0, 0),) * 3 + ((0, padn), (0, 0)))
             # bf16 matmul inputs (f32 accumulation): 2x MXU rate + bandwidth
             s = jnp.einsum(
-                "bghmc,bghnc->bghmn",
+                "bghnc,bghmc->bghnm",
+                kp.astype(jnp.bfloat16),
                 q.astype(jnp.bfloat16),
-                k.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             ) * scale
-            s = s + _lattice_bias(
-                rpe_table, k_pos, *lattice_hw, use_kernel=lattice_kernel
-            )
-            p = jax.nn.softmax(s, axis=-1)
+            s = s + bias.astype(jnp.float32)
+            if Np != n_real:
+                key_ids = jnp.arange(Np).reshape(1, 1, 1, Np, 1)
+                s = jnp.where(key_ids < n_real, s, -1e30)
+            p = jax.nn.softmax(s, axis=-2)
             if use_dropout:
                 mask = jax.random.bernoulli(key, 1.0 - dropout_rate, p.shape)
                 p = jnp.where(mask, p / (1.0 - dropout_rate), 0.0)
             return jnp.einsum(
-                "bghmn,bghnc->bghmc",
+                "bghnm,bghnc->bghmc",
                 p.astype(jnp.bfloat16),
-                v.astype(jnp.bfloat16),
+                vp.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
 

@@ -1,0 +1,176 @@
+"""Golden tests for the fused Pallas lattice-bias kernel (interpret mode).
+
+The fused kernel (ops/pallas/lattice_bias.py) must reproduce the XLA lattice
+path (ops/deform_attn.py::_lattice_bias) bit-for-bit in f32 — both implement
+the same exact decomposition of the reference's rpe grid_sample
+(SCA_deform_attn.py:365-389) — and its custom VJP must match XLA autodiff
+through the fallback for the table and the key positions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bevrender_tpu.ops.deform_attn import (
+    _lattice_bias_nm,
+    lattice_shift_class,
+    streamed_deform_attention,
+)
+
+
+def _setup(B=2, G=2, Hpg=2, H=8, W=8, d=2, seed=0):
+    N = (H // 2) * W * d
+    Ht, Wt = 2 * H - 1, 2 * W * d - 1
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    table = jax.random.normal(k1, (G, Hpg, Ht, Wt), jnp.float32) * 0.1
+    k_pos = jax.random.uniform(k2, (B, G, N, 2), minval=-0.98, maxval=0.98)
+    return table, k_pos, H, W, N
+
+
+class TestFusedLatticeBias:
+    def test_forward_matches_xla(self):
+        table, k_pos, H, W, N = _setup()
+        ref, n_ref = _lattice_bias_nm(
+            table, k_pos, H, W, compute_dtype=jnp.float32, use_kernel=False
+        )
+        got, n_got = _lattice_bias_nm(
+            table, k_pos, H, W, compute_dtype=jnp.float32,
+            use_kernel=True, interpret=True,
+        )
+        assert n_ref == n_got == N
+        np.testing.assert_allclose(
+            np.asarray(got[:, :, :, :N]), np.asarray(ref), rtol=0, atol=1e-5
+        )
+
+    def test_forward_nonsquare_window(self):
+        # H=W=4, d=3: small lattice, odd table width
+        table, k_pos, H, W, N = _setup(B=1, G=1, Hpg=2, H=4, W=4, d=3, seed=3)
+        ref, _ = _lattice_bias_nm(
+            table, k_pos, H, W, compute_dtype=jnp.float32, use_kernel=False
+        )
+        got, _ = _lattice_bias_nm(
+            table, k_pos, H, W, compute_dtype=jnp.float32,
+            use_kernel=True, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[:, :, :, :N]), np.asarray(ref), rtol=0, atol=1e-5
+        )
+
+    def test_grads_match_xla(self):
+        table, k_pos, H, W, N = _setup(B=1, G=2, Hpg=2, H=8, W=8, d=2, seed=1)
+
+        def loss(fn_kwargs):
+            def inner(table, k_pos):
+                bias, _ = _lattice_bias_nm(
+                    table, k_pos, H, W, compute_dtype=jnp.float32, **fn_kwargs
+                )
+                bias = bias[:, :, :, :N]
+                # weighted sum exercises all cotangent positions
+                w = jnp.arange(bias.size, dtype=jnp.float32).reshape(
+                    bias.shape
+                ) / bias.size
+                return jnp.sum(bias * w)
+            return inner
+
+        g_ref = jax.grad(loss(dict(use_kernel=False)), argnums=(0, 1))(
+            table, k_pos
+        )
+        g_got = jax.grad(
+            loss(dict(use_kernel=True, interpret=True)), argnums=(0, 1)
+        )(table, k_pos)
+        np.testing.assert_allclose(
+            np.asarray(g_got[0]), np.asarray(g_ref[0]), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_got[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-5
+        )
+
+    def test_padding_and_masking_in_site(self):
+        # N=24 pads to Np=128 inside the kernel path; the full site must mask
+        # the 104 fake keys so outputs match the XLA path exactly.
+        B, G, Hpg, H, W, d = 1, 1, 2, 6, 4, 1
+        N = (H // 2) * W * d
+        ch = 4
+        key = jax.random.PRNGKey(7)
+        ks = jax.random.split(key, 6)
+        table = jax.random.normal(ks[0], (G, Hpg, 2 * H - 1, 2 * W * d - 1)) * 0.1
+        k_pos = jax.random.uniform(ks[1], (B, G, N, 2), minval=-0.9, maxval=0.9)
+        q = jax.random.normal(ks[2], (B, G, Hpg, H * W, ch))
+        k = jax.random.normal(ks[3], (B, G, Hpg, N, ch))
+        v = jax.random.normal(ks[4], (B, G, Hpg, N, ch))
+        q_pos = jnp.stack(
+            jnp.meshgrid(
+                jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, W), indexing="ij"
+            ),
+            axis=-1,
+        ).reshape(H * W, 2)
+
+        out_ref = streamed_deform_attention(
+            q, k, v, q_pos, k_pos, table, scale=0.5,
+            lattice_hw=(H, W), lattice_kernel=False,
+        )
+        # emulate the kernel path on CPU: patch backend gate by calling the
+        # nm-bias with interpret and reusing the site math via monkeypatching
+        import bevrender_tpu.ops.deform_attn as da
+
+        orig = da._lattice_bias_nm
+        try:
+            da._lattice_bias_nm = lambda t, kp, h, w, compute_dtype=jnp.bfloat16, use_kernel=False, interpret=False: orig(
+                t, kp, h, w, compute_dtype=jnp.float32,
+                use_kernel=True, interpret=True,
+            )
+            out_got = streamed_deform_attention(
+                q, k, v, q_pos, k_pos, table, scale=0.5,
+                lattice_hw=(H, W), lattice_kernel=True,
+            )
+        finally:
+            da._lattice_bias_nm = orig
+        np.testing.assert_allclose(
+            np.asarray(out_got), np.asarray(out_ref), rtol=2e-2, atol=2e-2
+        )
+
+    def test_shift_class_range(self):
+        table, k_pos, H, W, N = _setup()
+        s = lattice_shift_class(table.shape, k_pos, H, W)
+        assert s.shape == k_pos.shape[:-1]
+        sv = np.asarray(s)
+        assert sv.min() >= 0 and sv.max() < 8
+
+    def test_sorted_keys_same_site_output(self):
+        # sorting keys by shift class must not change the attention output
+        table, k_pos, H, W, N = _setup(B=1, G=1, Hpg=2, H=8, W=8, d=2, seed=5)
+        ch = 4
+        key = jax.random.PRNGKey(9)
+        ks = jax.random.split(key, 3)
+        q = jax.random.normal(ks[0], (1, 1, 2, H * W, ch))
+        kv_seed = jax.random.normal(ks[1], (1, 1, N, 8))
+
+        def site(kp):
+            # derive k, v deterministically from positions so permuting
+            # positions permutes k/v consistently (like the real KV gather)
+            feat = jnp.concatenate([kp, kp * 2.0, kp * 3.0, kp * 4.0], -1)
+            k = jnp.repeat(feat[:, :, None], 2, axis=2)[..., :ch]
+            v = jnp.repeat((feat * 0.5)[:, :, None], 2, axis=2)[..., :ch]
+            q_pos = jnp.stack(
+                jnp.meshgrid(
+                    jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, W),
+                    indexing="ij",
+                ),
+                axis=-1,
+            ).reshape(H * W, 2)
+            return streamed_deform_attention(
+                q, k, v, q_pos, kp, table, scale=0.5,
+                lattice_hw=(H, W), lattice_kernel=False,
+            )
+
+        out_unsorted = site(k_pos)
+        cls = lattice_shift_class(table.shape, k_pos, H, W)
+        order = jnp.argsort(cls, axis=-1, stable=True)
+        kp_sorted = jnp.take_along_axis(k_pos, order[..., None], axis=2)
+        out_sorted = site(kp_sorted)
+        np.testing.assert_allclose(
+            np.asarray(out_sorted), np.asarray(out_unsorted),
+            rtol=1e-4, atol=1e-5,
+        )
