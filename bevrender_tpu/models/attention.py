@@ -31,9 +31,29 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bevrender_tpu.models.layers import Conv, Dense, trunc_normal_init
-from bevrender_tpu.ops.deform_attn import streamed_deform_attention
+from bevrender_tpu.ops.deform_attn import (
+    lattice_shift_class,
+    streamed_deform_attention,
+)
 from bevrender_tpu.ops.grid_sample import grid_sample_2d, normalized_grid
 from bevrender_tpu.parallel.annotate import hint
+
+
+def _sort_keys_by_shift(pos, B, G, N, table_shape, H, W):
+    """Reorder sampled-key positions by their lattice shift class (0..7).
+
+    Attention over sampled keys is permutation-invariant, and the fused bias
+    kernel (ops/pallas/lattice_bias.py) resolves the per-key sublane shift
+    with one masked pass per class present in a tile — sorted keys make that
+    ~1 executed branch instead of 8. K/V are gathered *after* this reorder so
+    they stay aligned with the positions; gradients flow back through the
+    take_along_axis scatter.
+    """
+    flat = pos.reshape(B, G, N, 2)
+    cls = lattice_shift_class(table_shape, flat, H, W)
+    order = jnp.argsort(cls, axis=-1, stable=True)
+    flat = jnp.take_along_axis(flat, order[..., None], axis=2)
+    return flat.reshape(B * G, N, 2)
 
 
 def _shard_heads(x: jax.Array) -> jax.Array:
@@ -137,6 +157,10 @@ class TSADeformableAttention(nn.Module):
             pos = off + ref[None]
         else:
             pos = jnp.clip(off + ref[None], -1.0, 1.0)
+        if self.use_pallas:
+            pos = _sort_keys_by_shift(
+                pos, B, G, N, (G, Hpg, 2 * H - 1, 2 * W - 1), H, W
+            )
 
         # --- K/V gather from (prev) BEV (TSA_deform_attn.py:210-217) ---
         xg = x.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4).reshape(B * G, H, W, Cg)
@@ -267,6 +291,10 @@ class SCADeformableAttention(nn.Module):
                 pos = off + ref[None]
             else:
                 pos = jnp.clip(off + ref[None], -1.0, 1.0)
+            if self.use_pallas:
+                pos = _sort_keys_by_shift(
+                    pos, B, G, N, (G, Hpg, 2 * H - 1, 2 * W * d - 1), H, W
+                )
 
             # --- K/V gather from this view (SCA_deform_attn.py:290-301) ---
             feat = img_feat[:, view]  # (B, Hi, Wi, C)

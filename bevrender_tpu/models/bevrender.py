@@ -126,11 +126,18 @@ class BEVRenderNet(nn.Module):
         # --- gradient-carrying pass on the current frame (bevrender.py:138-146)
         # history alignment mirrors the reference's train/eval gating
         # (encoder.py:366: warp only when not training).
+        if T == 1:
+            # single-frame window: no history, so the (prev, current) pose
+            # pair degenerates to (current, current) — the reference slice
+            # pose[:, T-2:T] would be empty here (bevrender.py:144).
+            pose_pair = jnp.concatenate([vehicle_pose, vehicle_pose], axis=1)
+        else:
+            pose_pair = vehicle_pose[:, T - 2 : T]
         bev = self.encoder(
             bev_query,
             images[:, -1],
             prev_bev,
-            vehicle_pose[:, T - 2 : T],
+            pose_pair,
             ref_pts,
             train=train,
             align_history=not train,
@@ -246,6 +253,16 @@ class BEVRenderModel:
         rngs: Optional[Dict[str, jax.Array]] = None,
         mutable=False,
     ):
+        if self.mode != "train" and train:
+            # the reference pins batch_size=1 outside training because its
+            # query-embedding expansion is fixed at construction
+            # (bevrender.py:19); this build broadcasts the query per call, so
+            # batched inference is supported — only a *training* step on a
+            # non-train-mode model is rejected.
+            raise ValueError(
+                f"mode={self.mode!r} BEVRenderModel cannot run a "
+                "training step; construct with mode='train'"
+            )
         return self.net.apply(
             variables,
             images,

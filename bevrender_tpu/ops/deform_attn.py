@@ -258,7 +258,7 @@ def _lattice_bias_nm(
     ys, ms, shift, wy, f, u0, g, m_max, PAD = _lattice_geometry(
         table.shape, k_pos, H, W
     )
-    TN = 128
+    TN = 64
     Np = -(-N // TN) * TN
     pad = Np - N
     if pad:
@@ -297,6 +297,7 @@ def _lattice_bias_nm(
         W,
         Hpg,
         interpret,
+        N,  # pad rows get bias -1e30: softmax masks them for free
     )
     return bias, N
 
@@ -359,10 +360,9 @@ def streamed_deform_attention(
                 q.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             ) * scale
+            # pad keys carry bias -1e30 (set inside the fused kernel), so the
+            # softmax zeroes them without a separate masking pass
             s = s + bias.astype(jnp.float32)
-            if Np != n_real:
-                key_ids = jnp.arange(Np).reshape(1, 1, 1, Np, 1)
-                s = jnp.where(key_ids < n_real, s, -1e30)
             p = jax.nn.softmax(s, axis=-2)
             if use_dropout:
                 mask = jax.random.bernoulli(key, 1.0 - dropout_rate, p.shape)

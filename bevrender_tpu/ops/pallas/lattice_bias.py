@@ -51,7 +51,7 @@ def _h1al(H: int) -> int:
 
 
 def _fwd_kernel(
-    packed_ref,  # SMEM (B*G*Np,) int32: ys<<16 | ms
+    packed_ref,  # SMEM (8, TN) int32 block: ys<<16 | ms, row = cell % 8
     t3_ref,      # VMEM (1, m_max, Ypad, WH) bf16/f32, WH = Hpg*W head-major
     wy_ref,      # VMEM (1, 1, TN, 1) f32
     f_ref,       # VMEM (1, 1, TN, 1) f32
@@ -67,14 +67,15 @@ def _fwd_kernel(
     Hpg: int,
     TN: int,
     Np: int,
+    nreal: int,
 ):
-    bg = pl.program_id(0)
-    t = pl.program_id(1)
-    base = bg * Np + t * TN
     H1AL = _h1al(H)
+    NT = Np // TN
+    t = pl.program_id(1)
+    row = (pl.program_id(0) * NT + t) % 8
 
     def extract(i, c):
-        packed = packed_ref[base + i]
+        packed = packed_ref[row, i]
         ys = packed >> 16
         ms = packed & 0xFFFF
         ys8 = pl.multiple_of((ys // 8) * 8, 8)
@@ -107,13 +108,22 @@ def _fwd_kernel(
                 smask[:, None, :], xin[:, s : s + H + 1, :], xres[...]
             )
 
-    # y-mix + flatten: static per-query-row lerp and per-head lane stores
+    # y-mix + flatten: static per-query-row lerp and per-head lane stores.
+    # Padded keys (global index >= nreal) get -1e30 so the consumer's softmax
+    # zeroes them with no separate masking pass.
     wy = wy_ref[0, 0]  # (TN, 1)
+    if Np == nreal:
+        valid = None
+    else:
+        kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
+        valid = kid < nreal
     for iy in range(H):
-        row = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
-        row = row.astype(out_ref.dtype)
+        rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
+        if valid is not None:
+            rowv = jnp.where(valid, rowv, -1e30)
+        rowv = rowv.astype(out_ref.dtype)
         for h in range(Hpg):
-            out_ref[0, 0, h, :, iy * W : (iy + 1) * W] = row[
+            out_ref[0, 0, h, :, iy * W : (iy + 1) * W] = rowv[
                 :, h * W : (h + 1) * W
             ]
 
@@ -145,15 +155,16 @@ def _bwd_kernel(
     g = pl.program_id(0)
     b = pl.program_id(1)
     t = pl.program_id(2)
-    base = (b * G + g) * Np + t * TN
     H1AL = _h1al(H)
+    NT = Np // TN
+    row = ((b * G + g) * NT + t) % 8
 
     @pl.when((b == 0) & (t == 0))
     def _():
         dt3_ref[...] = jnp.zeros(dt3_ref.shape, dt3_ref.dtype)
 
     def extract(i, c):
-        packed = packed_ref[base + i]
+        packed = packed_ref[row, i]
         ys = packed >> 16
         ms = packed & 0xFFFF
         ys8 = pl.multiple_of((ys // 8) * 8, 8)
@@ -230,7 +241,7 @@ def _bwd_kernel(
     # reuse win scratch's dtype-independent layout via a fresh f32 stack in
     # registers per key during the scatter
     def scatter(i, c):
-        packed = packed_ref[base + i]
+        packed = packed_ref[row, i]
         ys = packed >> 16
         ms = packed & 0xFFFF
         ys8 = pl.multiple_of((ys // 8) * 8, 8)
@@ -242,9 +253,9 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, TN, scatter, 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def lattice_bias_fused(
-    t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret
+    t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret, nreal=None
 ):
     """Fused lattice rpe bias.
 
@@ -256,44 +267,74 @@ def lattice_bias_fused(
       gcol: (1, WH) f32 static per-lane comb fraction, tiled per head.
       H, W, Hpg: query lattice and heads-per-group (static).
       interpret: run in interpreter mode (CPU tests).
+      nreal: real key count; rows >= nreal get bias -1e30 (softmax mask).
 
     Returns:
       (B, G, Hpg, Np, H*W) bias in t3m's dtype.
     """
-    return _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret)
+    return _fwd_call(
+        t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret, nreal
+    )
 
 
 def _tile_size(Np: int) -> int:
-    for tn in (256, 192, 128, 64, 32, 16, 8):
+    # TN=64 keeps total VMEM (table + win/xin/xres scratch + double-buffered
+    # in/out blocks) comfortably inside the core's ~16 MB at flagship shapes;
+    # TN=128 compiles only for small B*G grids and TN=256 overflows VMEM.
+    for tn in (64, 32, 16, 8):
         if Np % tn == 0:
             return tn
     return 8
 
 
-def _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret):
+def _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret,
+              nreal=None):
     G, m_max, Ypad, WH = t3m.shape
     B, _, Np, _ = wy.shape
+    if nreal is None:
+        nreal = Np
+    if B > 1:
+        # one launch per batch element: large (B*G, NT) grids crash the
+        # Mosaic compile service on this platform; the per-b envelope is
+        # proven. Sequential launches cost ~us each.
+        pk = packed.reshape(B, G * Np)
+
+        def one(args):
+            wyb, fb, shb, pkb = args
+            return _fwd_call(
+                t3m, wyb[None], fb[None], shb[None], pkb.reshape(G * Np),
+                gcol, H, W, Hpg, interpret, nreal,
+            )[0]
+
+        return jax.lax.map(one, (wy, f, shift, pk))
     M = H * W
     TN = _tile_size(Np)
     H1AL = _h1al(H)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B * G, Np // TN),
+    NT = Np // TN
+    n_cells = B * G * NT
+    r8 = -(-n_cells // 8) * 8
+    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, H=H, W=W, Hpg=Hpg, TN=TN, Np=Np,
+                          nreal=nreal),
+        grid=(B * G, NT),
         in_specs=[
-            pl.BlockSpec((1, m_max, Ypad, WH), lambda bg, t, p: (bg % G, 0, 0, 0),
+            pl.BlockSpec((8, TN), lambda bg, t: ((bg * NT + t) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m_max, Ypad, WH), lambda bg, t: (bg % G, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda bg, t, p: (bg // G, bg % G, t, 0),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda bg, t, p: (bg // G, bg % G, t, 0),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda bg, t, p: (bg // G, bg % G, t, 0),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WH), lambda bg, t, p: (0, 0),
+            pl.BlockSpec((1, WH), lambda bg, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, Hpg, TN, M),
-            lambda bg, t, p: (bg // G, bg % G, 0, t, 0),
+            lambda bg, t: (bg // G, bg % G, 0, t, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -301,72 +342,47 @@ def _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret):
             pltpu.VMEM((TN, H1AL, WH), jnp.float32),
             pltpu.VMEM((TN, H + 1, WH), jnp.float32),
         ],
-    )
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, H=H, W=W, Hpg=Hpg, TN=TN, Np=Np),
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, G, Hpg, Np, M), t3m.dtype),
         interpret=interpret,
-    )(packed, t3m, wy, f, shift, gcol)
+    )(packed2, t3m, wy, f, shift, gcol)
 
 
-def _fused_fwd(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret):
-    out = _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret)
+def _fused_fwd(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret,
+               nreal=None):
+    out = _fwd_call(
+        t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret, nreal
+    )
     return out, (t3m, wy, f, shift, packed, gcol)
 
 
-def _fused_bwd(H, W, Hpg, interpret, res, g_out):
+def _fused_bwd(H, W, Hpg, interpret, nreal, res, g_out):
     t3m, wy, f, shift, packed, gcol = res
     G, m_max, Ypad, WH = t3m.shape
     B, _, Np, _ = wy.shape
-    M = H * W
-    TN = _tile_size(Np)
-    H1AL = _h1al(H)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(G, B, Np // TN),
-        in_specs=[
-            pl.BlockSpec((1, m_max, Ypad, WH), lambda g, b, t, p: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t, p: (b, g, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t, p: (b, g, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t, p: (b, g, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WH), lambda g, b, t, p: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hpg, TN, M), lambda g, b, t, p: (b, g, 0, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, m_max, Ypad, WH), lambda g, b, t, p: (g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t, p: (b, g, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t, p: (b, g, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H1AL, WH), jnp.float32),
-            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
-            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
-            pltpu.VMEM((TN, H1AL, WH), jnp.float32),
-        ],
+    if B > 1:
+        pk = packed.reshape(B, G * Np)
+
+        def one(args):
+            wyb, fb, shb, pkb, gb = args
+            return _bwd_call(
+                t3m, wyb[None], fb[None], shb[None],
+                pkb.reshape(G * Np), gcol, gb[None],
+                H, W, Hpg, interpret,
+            )
+
+        dt3_b, dwy_b, df_b = jax.lax.map(one, (wy, f, shift, pk, g_out))
+        zp = np.zeros(packed.shape, dtype=jax.dtypes.float0)
+        return (
+            jnp.sum(dt3_b, axis=0).astype(t3m.dtype),
+            dwy_b[:, 0],
+            df_b[:, 0],
+            jnp.zeros_like(shift),
+            zp,
+            jnp.zeros_like(gcol),
+        )
+    dt3, dwy, df = _bwd_call(
+        t3m, wy, f, shift, packed, gcol, g_out, H, W, Hpg, interpret
     )
-    dt3, dwy, df = pl.pallas_call(
-        functools.partial(
-            _bwd_kernel, H=H, W=W, Hpg=Hpg, TN=TN, Np=Np, G=G
-        ),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((G, m_max, Ypad, WH), jnp.float32),
-            jax.ShapeDtypeStruct((B, G, Np, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, G, Np, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(packed, t3m, wy, f, shift, gcol, g_out)
     zp = np.zeros(packed.shape, dtype=jax.dtypes.float0)
     return (
         dt3.astype(t3m.dtype),
@@ -376,6 +392,62 @@ def _fused_bwd(H, W, Hpg, interpret, res, g_out):
         zp,
         jnp.zeros_like(gcol),
     )
+
+
+def _bwd_call(t3m, wy, f, shift, packed, gcol, g_out, H, W, Hpg, interpret):
+    G, m_max, Ypad, WH = t3m.shape
+    B, _, Np, _ = wy.shape
+    M = H * W
+    TN = _tile_size(Np)
+    H1AL = _h1al(H)
+    NT = Np // TN
+    n_cells = B * G * NT
+    r8 = -(-n_cells // 8) * 8
+    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    dt3, dwy, df = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, H=H, W=W, Hpg=Hpg, TN=TN, Np=Np, G=G
+        ),
+        grid=(G, B, NT),
+        in_specs=[
+            pl.BlockSpec((8, TN), lambda g, b, t: (((b * G + g) * NT + t) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m_max, Ypad, WH), lambda g, b, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WH), lambda g, b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, M), lambda g, b, t: (b, g, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m_max, Ypad, WH), lambda g, b, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), jnp.float32),
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
+            pltpu.VMEM((TN, H1AL, WH), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, m_max, Ypad, WH), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Np, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(packed2, t3m, wy, f, shift, gcol, g_out)
+    return dt3, dwy, df
 
 
 lattice_bias_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -198,9 +198,9 @@ class Trainer:
                 mutable=["batch_stats"] if state.batch_stats else [],
             )
             total, parts = self._forward_losses(out, batch)
-            return total, (parts, updates)
+            return total, (parts, updates, out)
 
-        (total, (parts, updates)), grads = jax.value_and_grad(
+        (total, (parts, updates, render)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         grad_norm = optax.global_norm(grads)
@@ -220,7 +220,7 @@ class Trainer:
         metrics = {"train_batch_loss": total, "camera_encoder_grad_norm": grad_norm}
         for k, v in parts.items():
             metrics[f"train_batch_{k}_loss"] = v
-        return new_state, metrics
+        return new_state, metrics, render
 
     def _eval_step_impl(self, state: TrainState, batch):
         variables = {"params": state.params}
@@ -266,7 +266,7 @@ class Trainer:
             device_prefetch(iter(train_loader), sharding=self.batch_sharding)
         ):
             rng, step_rng = jax.random.split(rng)
-            state, metrics = self._train_step(state, batch, step_rng)
+            state, metrics, render = self._train_step(state, batch, step_rng)
             m = {k: float(v) for k, v in metrics.items()}
             tr_loss += m["train_batch_loss"] / n_train
             self.metrics.log_batch(
@@ -286,13 +286,8 @@ class Trainer:
                 and self.metrics.run is not None
                 and idx % max(self.tc.wandb_log_img_freq_train, 1) == 0
             ):
-                variables = {"params": state.params}
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
-                render = self.model.apply(
-                    variables, batch["camera"], batch["vehicle_pose"],
-                    batch["vehicle_type"], train=False,
-                )
+                # reuse the render computed inside the jitted train step —
+                # no second forward pass on the logging cadence
                 img = self.get_log_image(
                     np.asarray(render[0]),
                     np.asarray(batch["map"][0]),
@@ -318,7 +313,7 @@ class Trainer:
             for idx, batch in enumerate(
                 device_prefetch(iter(val_loader), sharding=self.batch_sharding)
             ):
-                metrics, cam_e, map_e, _ = self._eval_step(state, batch)
+                metrics, cam_e, map_e, val_out = self._eval_step(state, batch)
                 val_loss += float(metrics["val_batch_loss"]) / n_val
                 if self.image_retrieval:
                     cam_embs.append(np.asarray(cam_e))
@@ -326,6 +321,29 @@ class Trainer:
                 self.metrics.log(
                     {**{k: float(v) for k, v in metrics.items()}, "epoch": epoch}
                 )
+                # composite val image at the configured cadence
+                # (WANDB_LOG_IMG_FERQ_VAL, train.py:424-468)
+                if (
+                    self.image_rendering
+                    and self.metrics.run is not None
+                    and idx % max(self.tc.wandb_log_img_freq_val, 1) == 0
+                ):
+                    img = self.get_log_image(
+                        np.asarray(val_out[0]),
+                        np.asarray(batch["map"][0]),
+                        np.asarray(batch["camera"][0, -1]),
+                    )
+                    try:
+                        import wandb
+
+                        self.metrics.log({
+                            "val_image": wandb.Image(
+                                img, caption=f"val epoch {epoch}"
+                            ),
+                            "epoch": epoch,
+                        })
+                    except Exception:  # pragma: no cover - wandb optional
+                        pass
             epoch_metrics["val_epoch_loss"] = val_loss
 
             if self.image_retrieval and cam_embs:

@@ -58,7 +58,7 @@ class TestTrainStep:
         rng = jax.random.PRNGKey(1)
         losses = []
         for i in range(6):
-            state, metrics = trainer._train_step(state, batch, rng)
+            state, metrics, _render = trainer._train_step(state, batch, rng)
             losses.append(float(metrics["train_batch_loss"]))
             assert np.isfinite(losses[-1])
             assert float(metrics["camera_encoder_grad_norm"]) > 0
