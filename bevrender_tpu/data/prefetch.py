@@ -37,7 +37,13 @@ class DataLoader:
         drop_last: bool = True,
         seed: int = 0,
         sampler: Optional[Sequence[int]] = None,
+        process_shard: Optional[tuple] = None,
     ):
+        """``process_shard=(process_index, process_count)`` makes this the
+        multi-host sampler: every process shuffles the SAME global index list
+        (shared seed), then takes a strided shard — DistributedSampler
+        semantics (train.py:667-672). ``batch_size`` is then the per-process
+        batch; the global batch is ``batch_size * process_count``."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -45,6 +51,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.sampler = sampler
+        self.process_shard = process_shard
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -54,6 +61,9 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        if self.process_shard is not None:
+            pi, pc = self.process_shard
+            n = (n - pi + pc - 1) // pc
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -65,6 +75,9 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             idx = rng.permutation(idx)
+        if self.process_shard is not None:
+            pi, pc = self.process_shard
+            idx = idx[pi::pc]  # strided shard of the shared permutation
         usable = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
         batches = [
             idx[i : i + self.batch_size] for i in range(0, usable, self.batch_size)
@@ -101,10 +114,25 @@ def device_prefetch(
     size: int = 2,
     sharding: Optional[jax.sharding.Sharding] = None,
 ) -> Iterator[Dict[str, jax.Array]]:
-    """Keep ``size`` batches in flight on device (async dispatch)."""
+    """Keep ``size`` batches in flight on device (async dispatch).
+
+    Single-host: plain (sharded) ``device_put``. Multi-host (the sharding
+    spans non-addressable devices): each process feeds its local shard of the
+    batch-axis and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — every process must iterate in
+    lockstep with its own per-process loader shard (``DataLoader`` with
+    ``process_shard``); replaces the reference's DistributedSampler + DDP
+    input path (train.py:667-689).
+    """
     queue: collections.deque = collections.deque()
+    multihost = jax.process_count() > 1 and sharding is not None
 
     def put(batch):
+        if multihost:
+            return {
+                k: jax.make_array_from_process_local_data(sharding, v)
+                for k, v in batch.items()
+            }
         if sharding is not None:
             return {k: jax.device_put(v, sharding) for k, v in batch.items()}
         return {k: jax.device_put(v) for k, v in batch.items()}

@@ -412,22 +412,31 @@ class Trainer:
             for fold, (train_idx, val_idx) in enumerate(
                 kfold.split(np.arange(len(self.dataset)))
             ):
+                # multi-host: every process loads 1/process_count of each
+                # global batch (strided shard of the shared shuffle) and
+                # device_prefetch assembles the global array — the GSPMD
+                # equivalent of DistributedSampler + DDP (train.py:667-689).
+                pc = jax.process_count()
+                shard = (jax.process_index(), pc) if pc > 1 else None
+                per_proc_bs = self.tc.batch_size // pc if pc > 1 else self.tc.batch_size
                 train_loader = DataLoader(
                     self.dataset,
-                    self.tc.batch_size,
+                    per_proc_bs,
                     shuffle=True,
                     num_workers=self.tc.num_workers,
                     drop_last=True,
                     seed=self.tc.seed,
                     sampler=train_idx,
+                    process_shard=shard,
                 )
                 val_loader = DataLoader(
                     self.dataset,
-                    self.tc.batch_size,
+                    per_proc_bs,
                     shuffle=False,
                     num_workers=self.tc.num_workers,
                     drop_last=True,
                     sampler=val_idx,
+                    process_shard=shard,
                 )
                 for _ in range(self.tc.epoch_per_fold):
                     rng, epoch_rng = jax.random.split(rng)

@@ -226,3 +226,45 @@ class TestConfigParity:
         out = model.apply(variables, batch["camera"], batch["vehicle_pose"],
                           batch["vehicle_type"], train=False)
         assert out.shape == (2, 32, 32, 3) and bool(jnp.isfinite(out).all())
+
+
+class TestProcessSharding:
+    """Multi-host sampler semantics (DistributedSampler parity,
+    train.py:667-672): shared shuffle, disjoint strided shards."""
+
+    def _loader(self, pi, pc, n=23, bs=2, shuffle=True):
+        from bevrender_tpu.data.prefetch import DataLoader
+
+        class _DS:
+            def __len__(self):
+                return n
+
+            def __getitem__(self, i):
+                return {"idx": np.asarray([i])}
+
+        return DataLoader(_DS(), bs, shuffle=shuffle, num_workers=1,
+                          drop_last=True, seed=7, process_shard=(pi, pc))
+
+    def test_shards_partition_the_epoch(self):
+        seen = []
+        for pi in range(2):
+            dl = self._loader(pi, 2)
+            dl.set_epoch(3)
+            got = [int(b["idx"][j, 0]) for b in dl for j in range(2)]
+            seen.append(set(got))
+        assert seen[0].isdisjoint(seen[1])
+        # drop_last may drop at most batch_size-1 per shard
+        assert len(seen[0] | seen[1]) >= 23 - 2 * 1
+
+    def test_same_seed_same_permutation(self):
+        a = self._loader(0, 2)
+        b = self._loader(0, 2)
+        a.set_epoch(1)
+        b.set_epoch(1)
+        la = [int(x["idx"][j, 0]) for x in a for j in range(2)]
+        lb = [int(x["idx"][j, 0]) for x in b for j in range(2)]
+        assert la == lb
+
+    def test_len_accounts_for_shard(self):
+        dl = self._loader(0, 2, n=23, bs=2)
+        assert len(dl) == 6  # ceil(23/2)=12 indices -> 6 batches
