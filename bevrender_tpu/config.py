@@ -98,6 +98,9 @@ class DataConfig:
     map_month: Optional[str] = None  # MAP_MONTH
     map_tile: int = 224  # aerial map tile size fed to losses
     augmentation: str = "none"  # none | weak | strong (dataset.py:185-207)
+    # TPU-build specific: host keeps PIL decode only; resize/view-split/
+    # normalize run as a jitted on-device stage (data/preprocess.py)
+    on_device_preprocess: bool = False
 
 
 @dataclass

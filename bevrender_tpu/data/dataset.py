@@ -45,6 +45,12 @@ def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
     )
 
 
+def _open_rgb(path: str):
+    from PIL import Image
+
+    return Image.open(path).convert("RGB")
+
+
 class Augmenter:
     """Seeded numpy augmentations matching dataset.py:185-207's menus."""
 
@@ -94,8 +100,13 @@ class GPSDeniedDataset:
         map_tile: int = 224,
         seed: int = 0,
         logger=None,
+        raw_uint8: bool = False,
     ):
+        """``raw_uint8=True`` keeps only PIL decode (+ augment) on the host
+        and returns uint8 wide frames / map tiles; resize, view split and
+        normalization then run on device (data/preprocess.py)."""
         self.datalist = datalist
+        self.raw_uint8 = raw_uint8
         self.mode = mode
         self.num_views = num_views
         self.window_num_imgs = window_num_imgs
@@ -139,7 +150,20 @@ class GPSDeniedDataset:
         else:  # inference: the full window (dataset.py:118-119)
             frames = list(window)
 
-        cameras = np.stack([self._frame_views(fr[REC_RGB_PATH]) for fr in frames])
+        if self.raw_uint8:
+            # host: decode + augment only; device does the rest
+            cameras = np.stack(
+                [
+                    self.augment(
+                        np.asarray(_open_rgb(fr[REC_RGB_PATH]))
+                    )
+                    for fr in frames
+                ]
+            )  # (T, Hw, Ww, 3) uint8
+        else:
+            cameras = np.stack(
+                [self._frame_views(fr[REC_RGB_PATH]) for fr in frames]
+            )
         poses = np.stack(
             [
                 np.asarray(
@@ -149,11 +173,12 @@ class GPSDeniedDataset:
             ]
         )
 
-        from PIL import Image
-
-        map_img = np.asarray(
-            Image.open(frames[-1][REC_MAP_PATH]).convert("RGB"), np.float32
-        ) / 255.0  # ToTensor only; no normalization (dataset.py:150-151)
+        if self.raw_uint8:
+            map_img = np.asarray(_open_rgb(frames[-1][REC_MAP_PATH]))
+        else:
+            map_img = np.asarray(
+                _open_rgb(frames[-1][REC_MAP_PATH]), np.float32
+            ) / 255.0  # ToTensor only; no normalization (dataset.py:150-151)
 
         return {
             "timestamp": np.int64(frames[-1][REC_TIMESTAMP]),

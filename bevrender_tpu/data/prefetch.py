@@ -113,6 +113,7 @@ def device_prefetch(
     it: Iterator[Dict[str, np.ndarray]],
     size: int = 2,
     sharding: Optional[jax.sharding.Sharding] = None,
+    preprocess: Optional[Callable] = None,
 ) -> Iterator[Dict[str, jax.Array]]:
     """Keep ``size`` batches in flight on device (async dispatch).
 
@@ -129,13 +130,22 @@ def device_prefetch(
 
     def put(batch):
         if multihost:
-            return {
+            out = {
                 k: jax.make_array_from_process_local_data(sharding, v)
                 for k, v in batch.items()
             }
+            if preprocess is not None:
+                out = preprocess(out)
+            return out
         if sharding is not None:
-            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
-        return {k: jax.device_put(v) for k, v in batch.items()}
+            out = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        else:
+            out = {k: jax.device_put(v) for k, v in batch.items()}
+        if preprocess is not None:
+            # jitted on-device resize/split/normalize (data/preprocess.py);
+            # runs async behind the same prefetch window
+            out = preprocess(out)
+        return out
 
     for batch in it:
         queue.append(put(batch))

@@ -61,6 +61,7 @@ def build_dataset(config, logger):
         map_norm_std=dc.map_norm_std,
         seed=config.train.seed,
         logger=logger,
+        raw_uint8=dc.on_device_preprocess,
     )
 
 

@@ -130,6 +130,12 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_step_impl)
         self._recall = jax.jit(lambda c, m: recall_at_k(c, m, (1, 5, 10)))
 
+        self.preprocess = None
+        if config.data.on_device_preprocess:
+            from bevrender_tpu.data.preprocess import make_batch_preprocessor
+
+            self.preprocess = make_batch_preprocessor(config.data)
+
         self.batch_sharding = None
         if mesh is not None:
             self.batch_sharding = jax.sharding.NamedSharding(
@@ -263,7 +269,8 @@ class Trainer:
         n_train = max(len(train_loader), 1)
         tr_loss = 0.0
         for idx, batch in enumerate(
-            device_prefetch(iter(train_loader), sharding=self.batch_sharding)
+            device_prefetch(iter(train_loader), sharding=self.batch_sharding,
+                            preprocess=self.preprocess)
         ):
             rng, step_rng = jax.random.split(rng)
             state, metrics, render = self._train_step(state, batch, step_rng)
@@ -311,7 +318,8 @@ class Trainer:
             map_embs: List[np.ndarray] = []
             n_val = max(len(val_loader), 1)
             for idx, batch in enumerate(
-                device_prefetch(iter(val_loader), sharding=self.batch_sharding)
+                device_prefetch(iter(val_loader), sharding=self.batch_sharding,
+                                preprocess=self.preprocess)
             ):
                 metrics, cam_e, map_e, val_out = self._eval_step(state, batch)
                 val_loss += float(metrics["val_batch_loss"]) / n_val
@@ -475,7 +483,8 @@ class Trainer:
 
         out_dir = Path(self.work_dir) / "best_epoch_val"
         out_dir.mkdir(parents=True, exist_ok=True)
-        for batch in device_prefetch(iter(val_loader), sharding=self.batch_sharding):
+        for batch in device_prefetch(iter(val_loader), sharding=self.batch_sharding,
+                                preprocess=self.preprocess):
             _, _, _, out = self._eval_step(state, batch)
             for render, ts in zip(np.asarray(out), np.asarray(batch["timestamp"])):
                 img = (np.clip(render, 0, 1) * 255).astype(np.uint8)

@@ -268,3 +268,67 @@ class TestProcessSharding:
     def test_len_accounts_for_shard(self):
         dl = self._loader(0, 2, n=23, bs=2)
         assert len(dl) == 6  # ceil(23/2)=12 indices -> 6 batches
+
+
+class TestOnDevicePreprocess:
+    """data/preprocess.py must reproduce the host pipeline
+    (dataset.py:121-147 semantics: split wide image, /255, normalize; map
+    ToTensor only)."""
+
+    def test_matches_host_pipeline_no_resize(self):
+        from bevrender_tpu.data.preprocess import preprocess_batch
+
+        rng = np.random.default_rng(0)
+        B, T, H, V, VW = 2, 2, 16, 3, 12
+        wide = rng.integers(0, 256, (B, T, H, V * VW, 3), dtype=np.uint8)
+        maps = rng.integers(0, 256, (B, 20, 20, 3), dtype=np.uint8)
+        mean = (0.485, 0.456, 0.406)
+        std = (0.229, 0.224, 0.225)
+
+        out = preprocess_batch(
+            wide, maps, num_views=V, resize_h=H, resize_w=V * VW,
+            cam_mean=mean, cam_std=std,
+        )
+        # host reference (mirrors GPSDeniedDataset._frame_views)
+        views = wide.reshape(B, T, H, V, VW, 3).transpose(0, 1, 3, 2, 4, 5)
+        host = (views.astype(np.float32) / 255.0 - np.asarray(mean)) / np.asarray(std)
+        np.testing.assert_allclose(np.asarray(out["camera"]), host, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out["map"]), maps.astype(np.float32) / 255.0, atol=1e-7
+        )
+
+    def test_resize_path_shapes(self):
+        from bevrender_tpu.data.preprocess import preprocess_batch
+
+        rng = np.random.default_rng(1)
+        wide = rng.integers(0, 256, (1, 2, 32, 96, 3), dtype=np.uint8)
+        maps = rng.integers(0, 256, (1, 20, 20, 3), dtype=np.uint8)
+        out = preprocess_batch(
+            wide, maps, num_views=3, resize_h=16, resize_w=48,
+            cam_mean=(0.5, 0.5, 0.5), cam_std=(0.5, 0.5, 0.5),
+        )
+        assert out["camera"].shape == (1, 2, 3, 16, 16, 3)
+        assert bool(np.isfinite(np.asarray(out["camera"])).all())
+
+    def test_prefetch_applies_preprocess(self):
+        from bevrender_tpu.data.prefetch import device_prefetch
+
+        rng = np.random.default_rng(2)
+        batches = [{
+            "camera": rng.integers(0, 256, (2, 2, 8, 24, 3), dtype=np.uint8),
+            "map": rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8),
+            "vehicle_pose": np.zeros((2, 2, 3), np.float32),
+        }]
+        from bevrender_tpu.data.preprocess import preprocess_batch
+
+        def pp(b):
+            out = dict(b)
+            out.update(preprocess_batch(
+                b["camera"], b["map"], num_views=3, resize_h=8, resize_w=24,
+                cam_mean=(0.5,) * 3, cam_std=(0.5,) * 3))
+            return out
+
+        got = list(device_prefetch(iter(batches), preprocess=pp))
+        assert got[0]["camera"].shape == (2, 2, 3, 8, 8, 3)
+        assert str(got[0]["camera"].dtype) == "float32"
+        assert got[0]["vehicle_pose"].shape == (2, 2, 3)

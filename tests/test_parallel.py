@@ -98,3 +98,58 @@ class TestDryrun:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestFullModelDPEquivalence:
+    """Sharded-vs-unsharded full-model train step equivalence — the GSPMD
+    analog of DDP's exact-replica guarantee (train.py:133-141)."""
+
+    def test_train_step_loss_and_update_match(self):
+        from bevrender_tpu.config import Config, tiny_model_config
+        from bevrender_tpu.data.dataset import SyntheticDataset
+        from bevrender_tpu.models.bevrender import BEVRenderModel
+        from bevrender_tpu.training.trainer import Trainer
+
+        cfg = Config()
+        cfg.model = tiny_model_config()
+        cfg.data.window_num_imgs = 1
+        cfg.train.batch_size = 8
+        cfg.train.loss_type = "MSE_CONTRASTIVE"
+        cfg.train.ckpt_dir = "/tmp/dp_eq_ckpt"
+
+        model = BEVRenderModel(cfg)
+        ds = SyntheticDataset(n_items=8, num_views=2, window_num_imgs=1,
+                              img_height=32, img_width=32, map_tile=32)
+        batch = {k: np.stack([ds[i][k] for i in range(8)]) for k in ds[0]}
+        variables = model.init(jax.random.PRNGKey(0), batch)
+
+        mesh = make_mesh(8)
+        tr_sh = Trainer(model, cfg, ds, mesh=mesh)
+        tr_un = Trainer(model, cfg, ds)
+        rng = jax.random.PRNGKey(3)
+
+        state_sh = tr_sh.create_state(jax.random.PRNGKey(0), batch)
+        state_un = tr_un.create_state(jax.random.PRNGKey(0), batch)
+        batch_sh = shard_batch(batch, mesh)
+        # dropout rates are 0 in the tiny config, so the rng fold difference
+        # cannot change numerics
+        s1, m1, r1 = tr_sh._train_step(state_sh, batch_sh, rng)
+        s2, m2, r2 = tr_un._train_step(state_un, batch, rng)
+
+        np.testing.assert_allclose(
+            float(m1["train_batch_loss"]), float(m2["train_batch_loss"]),
+            rtol=1e-5,
+        )
+        # reduction order differs under sharding: allow small fp drift
+        np.testing.assert_allclose(
+            float(m1["camera_encoder_grad_norm"]),
+            float(m2["camera_encoder_grad_norm"]),
+            rtol=5e-3,
+        )
+        # parameters after one AdamW step must agree leaf-by-leaf
+        leaves1 = jax.tree_util.tree_leaves(s1.params)
+        leaves2 = jax.tree_util.tree_leaves(s2.params)
+        for a, b in zip(leaves1, leaves2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-4
+            )
