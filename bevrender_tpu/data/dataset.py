@@ -237,3 +237,90 @@ class SyntheticDataset:
             ),
             "vehicle_type": np.asarray([index % self.n_types], np.int32),
         }
+
+
+class SyntheticGeoDataset:
+    """Geo-consistent synthetic trace: camera views and aerial map tiles are
+    carved from ONE shared world image, so pose retrieval is *learnable* —
+    the render+register loop (train.py:551-572) can be validated end to end
+    without the (unshipped) off-road trace.
+
+    A smooth random world map is generated; sample ``i`` sits at pose ``p_i``
+    on a trace. Its aerial tile is the world crop at ``p_i``; its camera
+    views are overlapping world crops around ``p_i`` (one per view, offset
+    like a surround rig) with additive noise, and history frames come from
+    the earlier trace poses. A model that learns to render the aerial view
+    from the cameras will therefore beat chance at recall@K against the tile
+    database.
+    """
+
+    def __init__(
+        self,
+        n_items: int = 16,
+        num_views: int = 2,
+        window_num_imgs: int = 1,
+        img_height: int = 32,
+        img_width: int = 32,
+        map_tile: int = 32,
+        world: int = 256,
+        noise: float = 0.05,
+        seed: int = 0,
+    ):
+        self.n = n_items
+        self.num_views = num_views
+        self.T = window_num_imgs + 1
+        self.h = img_height
+        self.w = img_width
+        self.map_tile = map_tile
+        self.noise = noise
+        self.seed = seed
+        rng = np.random.default_rng(seed)
+        # smooth world: low-res noise, bilinear-upsampled
+        low = rng.standard_normal((world // 16, world // 16, 3)).astype(np.float32)
+        ys = np.linspace(0, low.shape[0] - 1, world)
+        xs = np.linspace(0, low.shape[1] - 1, world)
+        y0 = np.floor(ys).astype(int); x0 = np.floor(xs).astype(int)
+        y1 = np.minimum(y0 + 1, low.shape[0] - 1)
+        x1 = np.minimum(x0 + 1, low.shape[1] - 1)
+        wy = (ys - y0)[:, None, None]; wx = (xs - x0)[None, :, None]
+        up = (low[y0][:, x0] * (1 - wy) * (1 - wx) + low[y0][:, x1] * (1 - wy) * wx
+              + low[y1][:, x0] * wy * (1 - wx) + low[y1][:, x1] * wy * wx)
+        up = (up - up.min()) / max(up.max() - up.min(), 1e-6)
+        self.world_img = up  # (world, world, 3) in [0, 1]
+        # a trace with margins for the crops
+        m = map_tile + img_height
+        self.trace = np.stack([
+            np.linspace(m, world - m, n_items),
+            m + (world - 2 * m) * 0.5 * (1 + np.sin(np.linspace(0, 3, n_items))),
+            np.linspace(0, 0.5, n_items),
+        ], axis=1).astype(np.float32)
+
+    def __len__(self):
+        return self.n
+
+    def _crop(self, cy, cx, size):
+        y = int(round(cy)) - size // 2
+        x = int(round(cx)) - size // 2
+        return self.world_img[y : y + size, x : x + size]
+
+    def _views_at(self, i, rng):
+        offs = np.linspace(-self.h, self.h, self.num_views)
+        cy, cx, _ = self.trace[i]
+        views = []
+        for o in offs:
+            v = self._crop(cy + o * 0.5, cx + o, self.h)
+            views.append(v + rng.standard_normal(v.shape).astype(np.float32) * self.noise)
+        return np.stack(views)  # (V, h, h, 3)
+
+    def __getitem__(self, index: int):
+        rng = np.random.default_rng(self.seed * 7919 + index)
+        hist = [max(index - k, 0) for k in range(self.T - 1, 0, -1)] + [index]
+        cameras = np.stack([self._views_at(j, rng) for j in hist]).astype(np.float32)
+        tile = self._crop(*self.trace[index][:2], self.map_tile).astype(np.float32)
+        return {
+            "timestamp": np.int64(1_700_000_000_000_000 + index * 250_000),
+            "camera": cameras,
+            "map": np.ascontiguousarray(tile),
+            "vehicle_pose": self.trace[hist].copy(),
+            "vehicle_type": np.asarray([0], np.int32),
+        }

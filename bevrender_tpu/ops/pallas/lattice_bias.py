@@ -144,6 +144,7 @@ def _bwd_kernel(
     xres,
     dxres,       # scratch (TN, H+1, WH) f32
     dxin,        # scratch (TN, H1AL, WH) f32
+    dwin,        # scratch (TN, 3, H1AL, WH) f32
     *,
     H: int,
     W: int,
@@ -234,20 +235,20 @@ def _bwd_kernel(
     dphi = jnp.sum(dxin_v * (right - left), axis=1)  # (TN, WH)
     df_ref[0, 0] = jnp.sum(dphi, axis=-1, keepdims=True)
     zero = jnp.zeros_like(dleft)
-    dw0 = jnp.where(cb, zero, dleft)
-    dw1 = jnp.where(cb, dleft, dright)
-    dw2 = jnp.where(cb, dright, zero)
+    # stage per-candidate window cotangents in VMEM: the scatter loop below
+    # ref-indexes dwin[i] (dynamic value-indexing of traced arrays does not
+    # lower inside TC kernels)
+    dwin[:, 0] = jnp.where(cb, zero, dleft)
+    dwin[:, 1] = jnp.where(cb, dleft, dright)
+    dwin[:, 2] = jnp.where(cb, dright, zero)
 
-    # reuse win scratch's dtype-independent layout via a fresh f32 stack in
-    # registers per key during the scatter
     def scatter(i, c):
         packed = packed_ref[row, i]
         ys = packed >> 16
         ms = packed & 0xFFFF
         ys8 = pl.multiple_of((ys // 8) * 8, 8)
-        upd = jnp.stack([dw0[i], dw1[i], dw2[i]], axis=0)  # (3, H1AL, WH)
         blk = dt3_ref[0, pl.ds(ms, 3), pl.ds(ys8, H1AL), :]
-        dt3_ref[0, pl.ds(ms, 3), pl.ds(ys8, H1AL), :] = blk + upd
+        dt3_ref[0, pl.ds(ms, 3), pl.ds(ys8, H1AL), :] = blk + dwin[i]
         return c
 
     jax.lax.fori_loop(0, TN, scatter, 0)
@@ -398,7 +399,10 @@ def _bwd_call(t3m, wy, f, shift, packed, gcol, g_out, H, W, Hpg, interpret):
     G, m_max, Ypad, WH = t3m.shape
     B, _, Np, _ = wy.shape
     M = H * W
-    TN = _tile_size(Np)
+    # the backward carries ~2x the scratch of the forward (dxres/dxin/dwin
+    # plus the resident f32 dt3 block); halve the tile so large-G grids stay
+    # inside the compile envelope
+    TN = min(_tile_size(Np), 32)
     H1AL = _h1al(H)
     NT = Np // TN
     n_cells = B * G * NT
@@ -439,6 +443,7 @@ def _bwd_call(t3m, wy, f, shift, packed, gcol, g_out, H, W, Hpg, interpret):
             pltpu.VMEM((TN, H + 1, WH), jnp.float32),
             pltpu.VMEM((TN, H + 1, WH), jnp.float32),
             pltpu.VMEM((TN, H1AL, WH), jnp.float32),
+            pltpu.VMEM((TN, 3, H1AL, WH), jnp.float32),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, m_max, Ypad, WH), jnp.float32),

@@ -66,6 +66,9 @@ def build_dataset(config, logger):
 
 
 def main(argv=None):
+    from bevrender_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from bevrender_tpu.config import Config, flagship_config, tiny_model_config
     from bevrender_tpu.data.dataset import SyntheticDataset
     from bevrender_tpu.data.prefetch import collate
