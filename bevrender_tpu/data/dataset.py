@@ -304,7 +304,9 @@ class SyntheticGeoDataset:
         return self.world_img[y : y + size, x : x + size]
 
     def _views_at(self, i, rng):
-        offs = np.linspace(-self.h, self.h, self.num_views)
+        # views overlap the aerial tile (a surround rig sees the ground the
+        # tile covers) — small offsets keep the task learnable
+        offs = np.linspace(-self.h / 4, self.h / 4, self.num_views)
         cy, cx, _ = self.trace[i]
         views = []
         for o in offs:

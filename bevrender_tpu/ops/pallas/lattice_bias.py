@@ -279,10 +279,10 @@ def lattice_bias_fused(
 
 
 def _tile_size(Np: int) -> int:
-    # TN=64 keeps total VMEM (table + win/xin/xres scratch + double-buffered
-    # in/out blocks) comfortably inside the core's ~16 MB at flagship shapes;
-    # TN=128 compiles only for small B*G grids and TN=256 overflows VMEM.
-    for tn in (64, 32, 16, 8):
+    # kernels declare vmem_limit_bytes=100MB (v5e VMEM is 128MB physical;
+    # the Mosaic default 16MB scoped budget overflows and the compile
+    # service reports it only as an opaque crash), so TN=128 fits.
+    for tn in (128, 64, 32, 16, 8):
         if Np % tn == 0:
             return tn
     return 8
@@ -294,20 +294,6 @@ def _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret,
     B, _, Np, _ = wy.shape
     if nreal is None:
         nreal = Np
-    if B > 1:
-        # one launch per batch element: large (B*G, NT) grids crash the
-        # Mosaic compile service on this platform; the per-b envelope is
-        # proven. Sequential launches cost ~us each.
-        pk = packed.reshape(B, G * Np)
-
-        def one(args):
-            wyb, fb, shb, pkb = args
-            return _fwd_call(
-                t3m, wyb[None], fb[None], shb[None], pkb.reshape(G * Np),
-                gcol, H, W, Hpg, interpret, nreal,
-            )[0]
-
-        return jax.lax.map(one, (wy, f, shift, pk))
     M = H * W
     TN = _tile_size(Np)
     H1AL = _h1al(H)
@@ -344,6 +330,9 @@ def _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret,
             pltpu.VMEM((TN, H + 1, WH), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct((B, G, Hpg, Np, M), t3m.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(packed2, t3m, wy, f, shift, gcol)
 
@@ -358,29 +347,6 @@ def _fused_fwd(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret,
 
 def _fused_bwd(H, W, Hpg, interpret, nreal, res, g_out):
     t3m, wy, f, shift, packed, gcol = res
-    G, m_max, Ypad, WH = t3m.shape
-    B, _, Np, _ = wy.shape
-    if B > 1:
-        pk = packed.reshape(B, G * Np)
-
-        def one(args):
-            wyb, fb, shb, pkb, gb = args
-            return _bwd_call(
-                t3m, wyb[None], fb[None], shb[None],
-                pkb.reshape(G * Np), gcol, gb[None],
-                H, W, Hpg, interpret,
-            )
-
-        dt3_b, dwy_b, df_b = jax.lax.map(one, (wy, f, shift, pk, g_out))
-        zp = np.zeros(packed.shape, dtype=jax.dtypes.float0)
-        return (
-            jnp.sum(dt3_b, axis=0).astype(t3m.dtype),
-            dwy_b[:, 0],
-            df_b[:, 0],
-            jnp.zeros_like(shift),
-            zp,
-            jnp.zeros_like(gcol),
-        )
     dt3, dwy, df = _bwd_call(
         t3m, wy, f, shift, packed, gcol, g_out, H, W, Hpg, interpret
     )
@@ -400,9 +366,8 @@ def _bwd_call(t3m, wy, f, shift, packed, gcol, g_out, H, W, Hpg, interpret):
     B, _, Np, _ = wy.shape
     M = H * W
     # the backward carries ~2x the scratch of the forward (dxres/dxin/dwin
-    # plus the resident f32 dt3 block); halve the tile so large-G grids stay
-    # inside the compile envelope
-    TN = min(_tile_size(Np), 32)
+    # plus the resident f32 dt3 block); cap its tile lower than the forward's
+    TN = min(_tile_size(Np), 64)
     H1AL = _h1al(H)
     NT = Np // TN
     n_cells = B * G * NT
@@ -450,6 +415,11 @@ def _bwd_call(t3m, wy, f, shift, packed, gcol, g_out, H, W, Hpg, interpret):
             jax.ShapeDtypeStruct((B, G, Np, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, G, Np, 1), jnp.float32),
         ],
+        # under remat+while XLA stages kernel results in scoped VMEM; the
+        # default 16 MB budget overflows (v5e VMEM is 128 MB physical)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(packed2, t3m, wy, f, shift, gcol, g_out)
     return dt3, dwy, df
