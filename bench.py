@@ -137,6 +137,34 @@ def main():
     except Exception:
         pass
 
+    baseline = _torch_baseline_fps()
+    vs = fps / baseline if baseline == baseline and baseline > 0 else None
+
+    def result_json(train_ms):
+        return {
+            "metric": (
+                "BEV render+register throughput "
+                "(flagship uniform-28 bf16, B=4, T=2, 3 views)"
+            ),
+            "value": round(fps, 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(vs, 2) if vs else None,
+            "eval_ms_per_batch": round(eval_ms, 2),
+            "eval_runs_ms": [round(r * 1e3, 2) for r in runs],
+            "train_ms_per_step": round(train_ms, 2) if train_ms else None,
+            "train_frames_per_sec": (
+                round(2 / (train_ms / 1e3), 3) if train_ms else None
+            ),
+            "mfu": round(mfu, 5) if mfu else None,
+            "baseline_fps": (
+                round(baseline, 5) if baseline == baseline else None
+            ),
+        }
+
+    # emit the eval-only line immediately so a hung/failed train compile
+    # cannot zero the whole bench; the final line re-emits with train fields
+    print(json.dumps(result_json(None)), flush=True)
+
     # ---- training step (B=2, T=2, MSE_CONTRASTIVE) ----
     train_ms = None
     try:
@@ -189,26 +217,7 @@ def main():
     except Exception as e:  # pragma: no cover - keep the headline alive
         print(f"train-step bench failed: {e!r}", file=sys.stderr)
 
-    baseline = _torch_baseline_fps()
-    vs = fps / baseline if baseline == baseline and baseline > 0 else None
-    result = {
-        "metric": (
-            "BEV render+register throughput "
-            "(flagship uniform-28 bf16, B=4, T=2, 3 views)"
-        ),
-        "value": round(fps, 3),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(vs, 2) if vs else None,
-        "eval_ms_per_batch": round(eval_ms, 2),
-        "eval_runs_ms": [round(r * 1e3, 2) for r in runs],
-        "train_ms_per_step": round(train_ms, 2) if train_ms else None,
-        "train_frames_per_sec": (
-            round(2 / (train_ms / 1e3), 3) if train_ms else None
-        ),
-        "mfu": round(mfu, 5) if mfu else None,
-        "baseline_fps": round(baseline, 5) if baseline == baseline else None,
-    }
-    print(json.dumps(result))
+    print(json.dumps(result_json(train_ms)), flush=True)
 
 
 if __name__ == "__main__":

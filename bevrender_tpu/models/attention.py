@@ -237,7 +237,10 @@ class SCADeformableAttention(nn.Module):
         Hpg = self.n_heads // G
         ch = C // self.n_heads
         d = self.bev_depth_dim
-        H2 = H // 2
+        # key-plane rows come from the projected voxel grid: H//2 for even
+        # BEV heights, ceil(H/2) for odd (the reference's arange over the BEV
+        # bound includes the endpoint cell at odd sizes, SCA.py:112-162)
+        H2 = reference_points.shape[1]
         N = H2 * W * d
 
         qg = query.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4)
@@ -279,8 +282,11 @@ class SCADeformableAttention(nn.Module):
                 use_bias=False,
                 name=f"offset_proj_m{view}",
             )(off)
-            # (B*G, H2, W, 2*d) -> (B*G, H2, W*d, 2), keys laid out (h, (w d))
-            # exactly as the reference grid (model/SCA.py:77-85).
+            # (B*G, ceil(H/2), W, 2*d) -> (B*G, H2, W*d, 2), keys laid out
+            # (h, (w d)) exactly as the reference grid (model/SCA.py:77-85).
+            # Odd BEV heights (pyramid stage 7) make the stride-2 conv emit
+            # ceil(H/2) rows; the key plane is H//2 (SCA.py:112-162) — crop.
+            off = off[:, :H2]
             off = off.reshape(B * G, H2, W, d, 2).reshape(B * G, H2, W * d, 2)
 
             # reference points arrive in (x, y); offsets are (y, x) like the

@@ -41,7 +41,7 @@ from bevrender_tpu.config import ModelConfig
 from bevrender_tpu.geometry.ego_motion import project_history_bev
 from bevrender_tpu.models.attention import SCADeformableAttention, TSADeformableAttention
 from bevrender_tpu.models.backbone import build_backbone
-from bevrender_tpu.models.layers import Conv, ConvMLP, DropPath, make_norm
+from bevrender_tpu.models.layers import Conv, ConvMLP, Dense, DropPath, make_norm
 from bevrender_tpu.parallel.annotate import hint
 
 
@@ -270,6 +270,19 @@ class BEVEncoder(nn.Module):
         img_feat = feat.reshape((B, V) + feat.shape[1:])
 
         for s in range(cfg.n_stages):
+            # Per-stage width fix: the single-scale backbone emits
+            # ``embed_dims[0]`` channels for every stage, but pyramid configs
+            # widen (encoder.py:23-38 defaults: 64..512). Upstream this path
+            # is structurally broken — the (B*G, C/G, Hi, Wi) reshape of
+            # SCA_deform_attn.py:290-301 cannot absorb a 64-channel map at a
+            # 128+-dim stage, and the multiscale FPN hookup that would have
+            # fixed it is commented out (encoder.py:116-120). Here a per-stage
+            # 1x1 projection stands in for that missing FPN level.
+            stage_feat = img_feat
+            if img_feat.shape[-1] != cfg.embed_dims[s]:
+                stage_feat = Dense(
+                    cfg.embed_dims[s], name=f"img_width_fix{s}"
+                )(img_feat)
             bev_query = BEVEncoderStage(
                 dim=cfg.embed_dims[s],
                 next_dim=cfg.embed_dims[s + 1],
@@ -292,7 +305,7 @@ class BEVEncoder(nn.Module):
                 name=f"stage{s}",
             )(
                 bev_query,
-                img_feat,
+                stage_feat,
                 # The reference passes the (stage-0-shaped) prev_bev to every
                 # stage and asserts shape equality (encoder.py:112-117), which
                 # only holds for uniform-shape configs; for pyramid configs we

@@ -258,7 +258,7 @@ def _lattice_bias_nm(
     ys, ms, shift, wy, f, u0, g, m_max, PAD = _lattice_geometry(
         table.shape, k_pos, H, W
     )
-    TN = 128
+    TN = 64
     Np = -(-N // TN) * TN
     pad = Np - N
     if pad:

@@ -281,8 +281,10 @@ def lattice_bias_fused(
 def _tile_size(Np: int) -> int:
     # kernels declare vmem_limit_bytes=100MB (v5e VMEM is 128MB physical;
     # the Mosaic default 16MB scoped budget overflows and the compile
-    # service reports it only as an opaque crash), so TN=128 fits.
-    for tn in (128, 64, 32, 16, 8):
+    # service reports it only as an opaque crash). TN=128 compiles but
+    # measures ~2-5x slower per site than TN=64 (VMEM thrash reduces the
+    # pipeliner's double-buffering headroom), so 64 it is.
+    for tn in (64, 32, 16, 8):
         if Np % tn == 0:
             return tn
     return 8
