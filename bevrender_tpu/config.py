@@ -134,6 +134,10 @@ class TrainConfig:
     # TPU-build specific
     data_axis: str = "data"  # mesh axis name for data parallelism
     model_axis: Optional[str] = None  # optional mesh axis for tensor/sequence sharding
+    # host-sync cadence for per-batch metric logging: the reference logs every
+    # batch (train.py:277-309), but float()-ing device scalars every step
+    # serializes host<->device and defeats prefetch overlap; 1 = exact parity
+    log_every_steps: int = 10
 
 
 @dataclass

@@ -52,7 +52,16 @@ def _open_rgb(path: str):
 
 
 class Augmenter:
-    """Seeded numpy augmentations matching dataset.py:185-207's menus."""
+    """Seeded numpy augmentations matching dataset.py:185-207's menus.
+
+    Documented deviation from torchvision's ColorJitter: hue jitter is
+    omitted (the reference passes hue=0.1/0.2; an RGB<->HSV round trip per
+    image is not worth the host CPU here), and brightness/contrast/saturation
+    are applied as one multiplicative pass with a single final clip rather
+    than torchvision's per-op clamp ordering, so saturation near the 0/255
+    rails can differ slightly. Grayscale/posterize probabilities and the
+    jitter ranges match the reference exactly.
+    """
 
     def __init__(self, kind: str, rng: random.Random):
         if kind not in ("none", "weak", "strong"):

@@ -62,8 +62,9 @@ class DataLoader:
     def __len__(self) -> int:
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
         if self.process_shard is not None:
-            pi, pc = self.process_shard
-            n = (n - pi + pc - 1) // pc
+            # padded shard: every process sees exactly ceil(n / pc) indices
+            _, pc = self.process_shard
+            n = -(-n // pc)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -76,8 +77,15 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             idx = rng.permutation(idx)
         if self.process_shard is not None:
+            # pad the shared permutation (wrapping) so every process gets an
+            # EQUAL shard and iterates the same number of batches — matches
+            # DistributedSampler's index padding (train.py:668); unequal
+            # shards would desync the lockstep SPMD step on the last batch
             pi, pc = self.process_shard
-            idx = idx[pi::pc]  # strided shard of the shared permutation
+            pad = (-len(idx)) % pc
+            if pad and len(idx):
+                idx = np.concatenate([idx, idx[:pad]])
+            idx = idx[pi::pc]  # strided shard of the padded permutation
         usable = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
         batches = [
             idx[i : i + self.batch_size] for i in range(0, usable, self.batch_size)

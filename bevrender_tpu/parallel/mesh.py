@@ -25,11 +25,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def initialize_distributed(**kwargs) -> None:
     """Multi-host init (replaces ddp_setup / init_process_group,
-    train.py:29-32). Single-host is a no-op."""
+    train.py:29-32). Single-host is a no-op, but the reason is logged so a
+    real multi-host misconfiguration can't silently degrade to 1 process."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except (RuntimeError, ValueError) as e:
+        import logging
+
+        logging.getLogger("bevrender_tpu").info(
+            "jax.distributed.initialize skipped (%s); continuing "
+            "single-process with %d local device(s)", e, jax.local_device_count()
+        )
 
 
 def make_mesh(

@@ -267,34 +267,48 @@ class Trainer:
 
         epoch_metrics: Dict[str, float] = {}
         n_train = max(len(train_loader), 1)
-        tr_loss = 0.0
+        # loss accumulates ON DEVICE; host sync (float()) happens only at the
+        # log_every_steps cadence so dispatch stays ahead of the chip and the
+        # prefetch window keeps its overlap (reference logs every batch,
+        # train.py:277-309 — set log_every_steps=1 for exact parity)
+        tr_loss_dev = None
+        log_every = max(self.tc.log_every_steps, 1)
         for idx, batch in enumerate(
             device_prefetch(iter(train_loader), sharding=self.batch_sharding,
                             preprocess=self.preprocess)
         ):
             rng, step_rng = jax.random.split(rng)
             state, metrics, render = self._train_step(state, batch, step_rng)
-            m = {k: float(v) for k, v in metrics.items()}
-            tr_loss += m["train_batch_loss"] / n_train
-            self.metrics.log_batch(
-                idx,
-                n_train,
-                m["train_batch_loss"],
-                m.get("train_batch_render_loss"),
-                m.get("train_batch_retrieval_loss"),
-                m.get("camera_encoder_grad_norm"),
+            tr_loss_dev = (
+                metrics["train_batch_loss"]
+                if tr_loss_dev is None
+                else tr_loss_dev + metrics["train_batch_loss"]
             )
-            lr = float(state.opt_state.hyperparams["learning_rate"])
-            self.metrics.log({**m, "learning_rate": lr, "epoch": epoch})
-            # composite train image at the configured cadence
-            # (train.py:283-294; only when wandb is active)
-            if (
+            want_img = (
                 self.image_rendering
                 and self.metrics.run is not None
                 and idx % max(self.tc.wandb_log_img_freq_train, 1) == 0
-            ):
-                # reuse the render computed inside the jitted train step —
-                # no second forward pass on the logging cadence
+            )
+            if idx % log_every == 0 or want_img:
+                m = {k: float(v) for k, v in metrics.items()}
+                self.metrics.log_batch(
+                    idx,
+                    n_train,
+                    m["train_batch_loss"],
+                    m.get("train_batch_render_loss"),
+                    m.get("train_batch_retrieval_loss"),
+                    m.get("camera_encoder_grad_norm"),
+                )
+                lr = float(state.opt_state.hyperparams["learning_rate"])
+                self.metrics.log({**m, "learning_rate": lr, "epoch": epoch})
+            # composite train image at the configured cadence
+            # (train.py:283-294; only when wandb is active)
+            if want_img:
+                # reuse the render computed inside the jitted train step — no
+                # second forward pass, but note it runs train=True (dropout /
+                # drop-path active), unlike the reference's separate
+                # deterministic logging forward; at the default rates (0.0)
+                # the images are identical
                 img = self.get_log_image(
                     np.asarray(render[0]),
                     np.asarray(batch["map"][0]),
@@ -309,7 +323,9 @@ class Trainer:
                     })
                 except Exception:  # pragma: no cover - wandb optional
                     pass
-        epoch_metrics["train_epoch_loss"] = tr_loss
+        epoch_metrics["train_epoch_loss"] = (
+            float(tr_loss_dev) / n_train if tr_loss_dev is not None else 0.0
+        )
 
         run_val = apply_validation and (epoch + 1) % self.tc.validation_frequency == 0
         if run_val:
@@ -387,7 +403,7 @@ class Trainer:
             "Summary of epoch %d/%d - training loss: %.8f%s",
             epoch,
             self.tc.total_epochs,
-            tr_loss,
+            epoch_metrics["train_epoch_loss"],
             (
                 f",  validation loss: {epoch_metrics.get('val_epoch_loss', float('nan')):.8f}"
                 if run_val
@@ -426,6 +442,12 @@ class Trainer:
                 # equivalent of DistributedSampler + DDP (train.py:667-689).
                 pc = jax.process_count()
                 shard = (jax.process_index(), pc) if pc > 1 else None
+                if pc > 1 and (self.tc.batch_size % pc or self.tc.batch_size < pc):
+                    raise ValueError(
+                        f"batch_size={self.tc.batch_size} must be a positive "
+                        f"multiple of process_count={pc} (each process feeds "
+                        f"batch_size/process_count rows of the global batch)"
+                    )
                 per_proc_bs = self.tc.batch_size // pc if pc > 1 else self.tc.batch_size
                 train_loader = DataLoader(
                     self.dataset,

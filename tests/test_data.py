@@ -246,15 +246,21 @@ class TestProcessSharding:
                           drop_last=True, seed=7, process_shard=(pi, pc))
 
     def test_shards_partition_the_epoch(self):
-        seen = []
+        # n=23, pc=2: the permutation is padded (wrapping) to 24 so both
+        # processes get 12 indices / 6 batches — DistributedSampler padding
+        # semantics (train.py:668): at most pc-1 duplicated samples, full
+        # coverage, EQUAL batch counts (unequal counts would desync SPMD).
+        seen, counts = [], []
         for pi in range(2):
             dl = self._loader(pi, 2)
             dl.set_epoch(3)
-            got = [int(b["idx"][j, 0]) for b in dl for j in range(2)]
-            seen.append(set(got))
-        assert seen[0].isdisjoint(seen[1])
-        # drop_last may drop at most batch_size-1 per shard
-        assert len(seen[0] | seen[1]) >= 23 - 2 * 1
+            batches = list(dl)
+            counts.append(len(batches))
+            got = [int(b["idx"][j, 0]) for b in batches for j in range(2)]
+            seen.append(got)
+        assert counts[0] == counts[1] == 6 == len(self._loader(0, 2))
+        assert set(seen[0]) | set(seen[1]) == set(range(23))  # full coverage
+        assert len(set(seen[0]) & set(seen[1])) <= 1  # <= pc-1 padded dups
 
     def test_same_seed_same_permutation(self):
         a = self._loader(0, 2)
