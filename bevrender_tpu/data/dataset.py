@@ -298,6 +298,13 @@ class SyntheticGeoDataset:
         self.world_img = up  # (world, world, 3) in [0, 1]
         # a trace with margins for the crops
         m = map_tile + img_height
+        if world < 2 * m + 8:
+            raise ValueError(
+                f"world={world} too small for map_tile={map_tile} + "
+                f"img_height={img_height}: the trace span [m, world-m] with "
+                f"m={m} collapses (all poses/tiles identical -> retrieval "
+                f"unlearnable); use world >= {2 * m + 8}"
+            )
         self.trace = np.stack([
             np.linspace(m, world - m, n_items),
             m + (world - 2 * m) * 0.5 * (1 + np.sin(np.linspace(0, 3, n_items))),

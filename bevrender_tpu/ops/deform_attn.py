@@ -230,31 +230,19 @@ def lattice_shift_class(table_shape, k_pos, H: int, W: int) -> jax.Array:
     return _lattice_geometry(table_shape, k_pos, H, W)[2]
 
 
-def _lattice_bias_nm(
+def _kernel_inputs(
     table: jax.Array,  # (G, Hpg, Ht, Wt)
     k_pos: jax.Array,  # (B, G, N, 2)
     H: int,
     W: int,
     compute_dtype=jnp.bfloat16,
-    use_kernel: bool = False,
-    interpret: bool = False,
 ):
-    """n-major lattice rpe bias: returns ((B, G, Hpg, Np, M) bias, N).
-
-    ``use_kernel=True`` runs the fused Pallas kernel
-    (ops/pallas/lattice_bias.py): extraction + x-mix + shift resolve + y-mix
-    + flatten in VMEM, nothing intermediate in HBM. Np is N padded to the
-    kernel tile; the consumer must mask keys >= N before the softmax.
-    The fallback transposes :func:`_lattice_bias` (tests / tiny sites).
-    """
+    """Shared host-side staging for the Pallas lattice kernels: tile-padded
+    per-key geometry, packed window starts, the head-major rearranged table
+    and the per-lane comb. Returns (t3m, wy4, f4, shift4, packed, gcol, Np)
+    shaped for ``lattice_bias_fused`` / ``fused_site_call``."""
     G, Hpg, Ht, Wt = table.shape
     B, _, N, _ = k_pos.shape
-    if not use_kernel:
-        bias = _lattice_bias(table, k_pos, H, W, compute_dtype, False)
-        return jnp.swapaxes(bias, -1, -2), N
-
-    from bevrender_tpu.ops.pallas.lattice_bias import lattice_bias_fused
-
     ys, ms, shift, wy, f, u0, g, m_max, PAD = _lattice_geometry(
         table.shape, k_pos, H, W
     )
@@ -285,12 +273,50 @@ def _lattice_bias_nm(
     y_pad = (-Y % 8) + _h1al(H)
     t3m = jnp.pad(t3, ((0, 0), (0, 0), (0, y_pad), (0, 0)))
     gcol = jnp.asarray(np.tile(g, Hpg)).reshape(1, Hpg * W)
-
-    bias = lattice_bias_fused(
+    return (
         t3m,
         wy[..., None].astype(jnp.float32),
         f[..., None].astype(jnp.float32),
         shift[..., None].astype(jnp.float32),
+        packed,
+        gcol,
+        Np,
+    )
+
+
+def _lattice_bias_nm(
+    table: jax.Array,  # (G, Hpg, Ht, Wt)
+    k_pos: jax.Array,  # (B, G, N, 2)
+    H: int,
+    W: int,
+    compute_dtype=jnp.bfloat16,
+    use_kernel: bool = False,
+    interpret: bool = False,
+):
+    """n-major lattice rpe bias: returns ((B, G, Hpg, Np, M) bias, N).
+
+    ``use_kernel=True`` runs the fused Pallas kernel
+    (ops/pallas/lattice_bias.py): extraction + x-mix + shift resolve + y-mix
+    + flatten in VMEM, nothing intermediate in HBM. Np is N padded to the
+    kernel tile; the consumer must mask keys >= N before the softmax.
+    The fallback transposes :func:`_lattice_bias` (tests / tiny sites).
+    """
+    G, Hpg, Ht, Wt = table.shape
+    B, _, N, _ = k_pos.shape
+    if not use_kernel:
+        bias = _lattice_bias(table, k_pos, H, W, compute_dtype, False)
+        return jnp.swapaxes(bias, -1, -2), N
+
+    from bevrender_tpu.ops.pallas.lattice_bias import lattice_bias_fused
+
+    t3m, wy4, f4, shift4, packed, gcol, Np = _kernel_inputs(
+        table, k_pos, H, W, compute_dtype
+    )
+    bias = lattice_bias_fused(
+        t3m,
+        wy4,
+        f4,
+        shift4,
         packed,
         gcol,
         H,
@@ -300,6 +326,105 @@ def _lattice_bias_nm(
         N,  # pad rows get bias -1e30: softmax masks them for free
     )
     return bias, N
+
+
+def _site_xla(
+    q, k, v, k_pos, rpe_table, H, W, *,
+    scale, use_kernel, dropout_rate=0.0, dropout_key=None,
+    bias_interpret=False,
+):
+    """XLA consumer of the (optionally Pallas-generated) n-major bias:
+    scores + softmax + AV with the keys axis major — the reference's dense
+    site (SCA_deform_attn.py:331-413) minus HBM round trips of (M, N, 2)."""
+    bias, n_real = _lattice_bias_nm(
+        rpe_table, k_pos, H, W, use_kernel=use_kernel, interpret=bias_interpret
+    )
+    Np = bias.shape[3]
+    kp = k
+    vp = v
+    if Np != n_real:
+        padn = Np - n_real
+        kp = jnp.pad(k, ((0, 0),) * 3 + ((0, padn), (0, 0)))
+        vp = jnp.pad(v, ((0, 0),) * 3 + ((0, padn), (0, 0)))
+    # bf16 matmul inputs (f32 accumulation): 2x MXU rate + bandwidth
+    s = jnp.einsum(
+        "bghnc,bghmc->bghnm",
+        kp.astype(jnp.bfloat16),
+        q.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    # pad keys carry bias -1e30 (set inside the fused kernel / the XLA
+    # fallback returns unpadded), so the softmax zeroes them for free
+    s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-2)
+    if dropout_rate > 0.0 and dropout_key is not None:
+        mask = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(mask, p / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum(
+        "bghnm,bghnc->bghmc",
+        p.astype(jnp.bfloat16),
+        vp.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_site_attention(q, k, v, k_pos, rpe_table, H, W, scale, interpret):
+    """Fully fused attention site (ops/pallas/fused_attn.py): per (b, g)
+    cell the Pallas kernel builds the bias tile, computes scores, folds them
+    into a flash-style online softmax and accumulates AV — the
+    (B, G, Hpg, N, M) bias/score tensors never exist in HBM.
+
+    Backward: recompute through :func:`_site_xla` (whose bias stage uses
+    ``lattice_bias_fused``'s custom VJP on TPU) — identical math to the
+    round-2 training path, so gradients match the non-fused pipeline.
+
+    No dropout (the caller falls back to the XLA consumer when attention
+    dropout is active).
+    """
+    return _fused_site_impl(q, k, v, k_pos, rpe_table, H, W, scale, interpret)
+
+
+def _fused_site_impl(q, k, v, k_pos, rpe_table, H, W, scale, interpret):
+    from bevrender_tpu.ops.pallas.fused_attn import fused_site_call
+
+    B, G, Hpg, M, ch = q.shape
+    N = k.shape[3]
+    t3m, wy4, f4, shift4, packed, gcol, Np = _kernel_inputs(
+        rpe_table, k_pos, H, W
+    )
+    kp = k
+    vp = v
+    if Np != N:
+        padn = Np - N
+        kp = jnp.pad(k, ((0, 0),) * 3 + ((0, padn), (0, 0)))
+        vp = jnp.pad(v, ((0, 0),) * 3 + ((0, padn), (0, 0)))
+    qcm = jnp.swapaxes(q, -1, -2)  # (B, G, Hpg, ch, M): queries on lanes
+    out_cm = fused_site_call(
+        t3m, wy4, f4, shift4, packed, gcol, kp, vp, qcm,
+        H, W, Hpg, interpret, N, scale,
+    )
+    return jnp.swapaxes(out_cm, -1, -2)  # (B, G, Hpg, M, ch)
+
+
+def _fused_site_fwd(q, k, v, k_pos, rpe_table, H, W, scale, interpret):
+    out = _fused_site_impl(q, k, v, k_pos, rpe_table, H, W, scale, interpret)
+    return out, (q, k, v, k_pos, rpe_table)
+
+
+def _fused_site_bwd(H, W, scale, interpret, res, g):
+    q, k, v, k_pos, rpe_table = res
+    use_kernel = (not interpret) and jax.default_backend() == "tpu"
+    _, vjp = jax.vjp(
+        lambda q, k, v, kp, tb: _site_xla(
+            q, k, v, kp, tb, H, W, scale=scale, use_kernel=use_kernel,
+        ),
+        q, k, v, k_pos, rpe_table,
+    )
+    return vjp(g.astype(jnp.float32))
+
+
+fused_site_attention.defvjp(_fused_site_fwd, _fused_site_bwd)
 
 
 def streamed_deform_attention(
@@ -332,46 +457,25 @@ def streamed_deform_attention(
 
     if lattice_hw is not None:
         use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+        on_tpu = jax.default_backend() == "tpu"
+        if lattice_kernel and on_tpu and not use_dropout:
+            # fully fused site: bias + scores + online softmax + AV in one
+            # Pallas kernel — neither bias nor scores touch HBM
+            return fused_site_attention(
+                q, k, v, k_pos, rpe_table, *lattice_hw,
+                scale=scale, interpret=False,
+            )
 
         @functools.partial(
             jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable
         )
         def full_site(q, k, v, k_pos, rpe_table, key):
-            # n-major layout throughout: the fused bias kernel emits
-            # (B, G, Hpg, N, M) directly, so scores are computed keys-major
-            # and the softmax reduces over axis -2 — no (M, N) transposes.
-            bias, n_real = _lattice_bias_nm(
-                rpe_table,
-                k_pos,
-                *lattice_hw,
+            return _site_xla(
+                q, k, v, k_pos, rpe_table, *lattice_hw,
+                scale=scale,
                 use_kernel=lattice_kernel and jax.default_backend() == "tpu",
-            )
-            Np = bias.shape[3]
-            kp = k
-            vp = v
-            if Np != n_real:
-                padn = Np - n_real
-                kp = jnp.pad(k, ((0, 0),) * 3 + ((0, padn), (0, 0)))
-                vp = jnp.pad(v, ((0, 0),) * 3 + ((0, padn), (0, 0)))
-            # bf16 matmul inputs (f32 accumulation): 2x MXU rate + bandwidth
-            s = jnp.einsum(
-                "bghnc,bghmc->bghnm",
-                kp.astype(jnp.bfloat16),
-                q.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            # pad keys carry bias -1e30 (set inside the fused kernel), so the
-            # softmax zeroes them without a separate masking pass
-            s = s + bias.astype(jnp.float32)
-            p = jax.nn.softmax(s, axis=-2)
-            if use_dropout:
-                mask = jax.random.bernoulli(key, 1.0 - dropout_rate, p.shape)
-                p = jnp.where(mask, p / (1.0 - dropout_rate), 0.0)
-            return jnp.einsum(
-                "bghnm,bghnc->bghmc",
-                p.astype(jnp.bfloat16),
-                vp.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
+                dropout_rate=dropout_rate if use_dropout else 0.0,
+                dropout_key=key if use_dropout else None,
             )
 
         key = (

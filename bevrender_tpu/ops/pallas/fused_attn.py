@@ -1,0 +1,210 @@
+"""Pallas TPU kernel: FULLY fused deformable-attention site.
+
+Round-2 fused the rpe-bias *generation* (``lattice_bias.py``) but its
+``(B, G, Hpg, N, M)`` output still round-tripped HBM, and the scores
+materialized per site in XLA (transiently, under ``jax.checkpoint``). This
+kernel consumes the bias in-VMEM: per (b, g) cell and key tile it
+
+  1. builds the bias tile with the shared front-end
+     (``lattice_bias._fill_xres`` + y-mix) into a VMEM scratch,
+  2. computes ``s = scale * K_tile Q^T + bias`` as ``ch`` VPU outer-product
+     FMAs per head (head channels are 4..32 at the flagship sites — an
+     MXU-hostile contraction the 128x128 systolic array would waste; the
+     (TN, M) broadcasts are exactly what the VPU is for),
+  3. folds the tile into flash-style online-softmax state carried in VMEM
+     scratch across the key-tile grid axis (running max m, running sum l,
+     output accumulator O — Dao et al.'s streaming softmax),
+  4. at the last tile writes ``O / l`` to the output block.
+
+Neither the bias nor the scores ever exist in HBM; per-site HBM traffic
+drops from O(B G Hpg N M) to O(K + V + Q + geometry + out). The model is
+bandwidth-bound, so this is the round-3 perf lever (VERDICT item 3).
+
+Replaces the XLA consumer for the reference's dense path
+(SCA_deform_attn.py:331-413: scores + grid_sample'd rpe + softmax + AV).
+
+Key-axis padding: rows >= nreal get bias -1e30 from the y-mix (as in the
+bias-only kernel), so exp(s - m) underflows to exactly 0 and padded keys
+vanish from l and O with no separate masking. Every tile holds >= 1 real key
+(pad < TN by construction), so the running max is never the -1e30 sentinel.
+
+The backward is host-side: a custom VJP in ``ops/deform_attn.py`` recomputes
+through the XLA consumer (whose bias stage uses ``lattice_bias_fused``'s own
+custom VJP), which is exactly what the round-2 training path executed — so
+training gets this kernel's faster forward for free while the flash-style
+backward kernel remains future work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bevrender_tpu.ops.pallas.lattice_bias import _fill_xres, _h1al
+
+
+def _site_kernel(
+    packed_ref,  # SMEM (8, TN) int32: ys<<16 | ms, row = cell % 8
+    t3_ref,      # VMEM (1, m_max, Ypad, WH) bf16/f32, WH = Hpg*W head-major
+    wy_ref,      # VMEM (1, 1, TN, 1) f32
+    f_ref,       # VMEM (1, 1, TN, 1) f32
+    shift_ref,   # VMEM (1, 1, TN, 1) f32 (0..7)
+    gcol_ref,    # VMEM (1, WH) f32
+    k_ref,       # VMEM (1, 1, Hpg, TN, ch)
+    v_ref,       # VMEM (1, 1, Hpg, TN, ch)
+    q_ref,       # VMEM (1, 1, Hpg, ch, M) c-major: queries on lanes
+    out_ref,     # VMEM (1, 1, Hpg, ch, M) f32
+    win,         # scratch (TN, 3, H1AL, WH) table-dtype
+    xin,         # scratch (TN, H1AL, WH) f32
+    xres,        # scratch (TN, H+1, WH) f32
+    sblk,        # scratch (Hpg, TN, M) f32 — bias/scores tile
+    macc,        # scratch (Hpg, M) f32 — running max per (head, query)
+    lacc,        # scratch (Hpg, M) f32 — running sum
+    oacc,        # scratch (Hpg, ch, M) f32 — unnormalized output
+    *,
+    H: int,
+    W: int,
+    Hpg: int,
+    ch: int,
+    TN: int,
+    Np: int,
+    nreal: int,
+    scale: float,
+):
+    NT = Np // TN
+    t = pl.program_id(1)
+    row = (pl.program_id(0) * NT + t) % 8
+
+    _fill_xres(
+        packed_ref, t3_ref, f_ref, shift_ref, gcol_ref, win, xin, xres, row, H
+    )
+
+    # y-mix into the per-head score scratch; padded keys get -1e30
+    wy = wy_ref[0, 0]  # (TN, 1)
+    if Np == nreal:
+        valid = None
+    else:
+        kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
+        valid = kid < nreal
+    for iy in range(H):
+        rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
+        if valid is not None:
+            rowv = jnp.where(valid, rowv, -1e30)
+        for h in range(Hpg):
+            sblk[h, :, iy * W : (iy + 1) * W] = rowv[:, h * W : (h + 1) * W]
+
+    @pl.when(t == 0)
+    def _():
+        macc[...] = jnp.full(macc.shape, -1e30, jnp.float32)
+        lacc[...] = jnp.zeros(lacc.shape, jnp.float32)
+        oacc[...] = jnp.zeros(oacc.shape, jnp.float32)
+
+    for h in range(Hpg):
+        kblk = k_ref[0, 0, h].astype(jnp.float32)  # (TN, ch)
+        qblk = q_ref[0, 0, h].astype(jnp.float32)  # (ch, M)
+        # scores: ch outer-product FMAs (TN, 1) x (1, M) on the VPU
+        qk = kblk[:, 0:1] * qblk[0:1, :]
+        for c in range(1, ch):
+            qk += kblk[:, c : c + 1] * qblk[c : c + 1, :]
+        s = sblk[h] + scale * qk  # (TN, M)
+
+        # online softmax over the key-tile grid axis
+        mold = macc[h : h + 1, :]  # (1, M)
+        mnew = jnp.maximum(mold, jnp.max(s, axis=0, keepdims=True))
+        p = jnp.exp(s - mnew)  # (TN, M); -1e30 rows underflow to 0
+        alpha = jnp.exp(mold - mnew)  # (1, M)
+        macc[h : h + 1, :] = mnew
+        lacc[h : h + 1, :] = lacc[h : h + 1, :] * alpha + jnp.sum(
+            p, axis=0, keepdims=True
+        )
+        vblk = v_ref[0, 0, h].astype(jnp.float32)  # (TN, ch)
+        for c in range(ch):
+            contrib = jnp.sum(p * vblk[:, c : c + 1], axis=0, keepdims=True)
+            oacc[h, c : c + 1, :] = oacc[h, c : c + 1, :] * alpha + contrib
+
+    @pl.when(t == NT - 1)
+    def _():
+        for h in range(Hpg):
+            out_ref[0, 0, h] = (
+                oacc[h] / jnp.maximum(lacc[h : h + 1, :], 1e-30)
+            ).astype(out_ref.dtype)
+
+
+def fused_site_call(
+    t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
+    nreal, scale,
+):
+    """Run the fused attention site.
+
+    Args (beyond ``lattice_bias_fused``'s):
+      k, v: (B, G, Hpg, Np, ch) — key-padded to the tile multiple.
+      qcm:  (B, G, Hpg, ch, M) — queries channel-major (M on lanes).
+      scale: static score scale.
+
+    Returns (B, G, Hpg, ch, M) f32 attention output (channel-major).
+    """
+    G, m_max, Ypad, WH = t3m.shape
+    B, _, Np, _ = wy.shape
+    M = H * W
+    ch = k.shape[-1]
+    from bevrender_tpu.ops.pallas.lattice_bias import _tile_size
+
+    TN = _tile_size(Np)
+    H1AL = _h1al(H)
+    NT = Np // TN
+    n_cells = B * G * NT
+    r8 = -(-n_cells // 8) * 8
+    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(
+            _site_kernel, H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
+            nreal=nreal, scale=float(scale),
+        ),
+        grid=(B * G, NT),
+        in_specs=[
+            pl.BlockSpec((8, TN), lambda bg, t: ((bg * NT + t) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m_max, Ypad, WH), lambda bg, t: (bg % G, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WH), lambda bg, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, ch, M),
+                         lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Hpg, ch, M),
+            lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), jnp.float32),
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
+            pltpu.VMEM((Hpg, TN, M), jnp.float32),
+            pltpu.VMEM((Hpg, M), jnp.float32),
+            pltpu.VMEM((Hpg, M), jnp.float32),
+            pltpu.VMEM((Hpg, ch, M), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(packed2, t3m, wy, f, shift, gcol, k, v, qcm)

@@ -50,29 +50,16 @@ def _h1al(H: int) -> int:
     return ((H + 1 + 7 + 7) // 8) * 8
 
 
-def _fwd_kernel(
-    packed_ref,  # SMEM (8, TN) int32 block: ys<<16 | ms, row = cell % 8
-    t3_ref,      # VMEM (1, m_max, Ypad, WH) bf16/f32, WH = Hpg*W head-major
-    wy_ref,      # VMEM (1, 1, TN, 1) f32
-    f_ref,       # VMEM (1, 1, TN, 1) f32
-    shift_ref,   # VMEM (1, 1, TN, 1) f32 (0..7)
-    gcol_ref,    # VMEM (1, WH) f32: frac comb per lane (tiled per head)
-    out_ref,     # VMEM (1, 1, Hpg, TN, M)
-    win,         # scratch (TN, 3, H1AL, WH) table-dtype
-    xin,         # scratch (TN, H1AL, WH) f32
-    xres,        # scratch (TN, H+1, WH) f32
-    *,
-    H: int,
-    W: int,
-    Hpg: int,
-    TN: int,
-    Np: int,
-    nreal: int,
+def _fill_xres(
+    packed_ref, t3_ref, f_ref, shift_ref, gcol_ref, win, xin, xres, row, H
 ):
+    """Shared bias front-end: window extraction + x-mix + shift resolve.
+
+    Fills ``xres`` (TN, H+1, WH) with the x-interpolated, shift-aligned
+    windows for this key tile; the caller finishes with the y-mix.
+    """
     H1AL = _h1al(H)
-    NT = Np // TN
-    t = pl.program_id(1)
-    row = (pl.program_id(0) * NT + t) % 8
+    TN = win.shape[0]
 
     def extract(i, c):
         packed = packed_ref[row, i]
@@ -107,6 +94,34 @@ def _fwd_kernel(
             xres[...] = jnp.where(
                 smask[:, None, :], xin[:, s : s + H + 1, :], xres[...]
             )
+    return wx, cb
+
+
+def _fwd_kernel(
+    packed_ref,  # SMEM (8, TN) int32 block: ys<<16 | ms, row = cell % 8
+    t3_ref,      # VMEM (1, m_max, Ypad, WH) bf16/f32, WH = Hpg*W head-major
+    wy_ref,      # VMEM (1, 1, TN, 1) f32
+    f_ref,       # VMEM (1, 1, TN, 1) f32
+    shift_ref,   # VMEM (1, 1, TN, 1) f32 (0..7)
+    gcol_ref,    # VMEM (1, WH) f32: frac comb per lane (tiled per head)
+    out_ref,     # VMEM (1, 1, Hpg, TN, M)
+    win,         # scratch (TN, 3, H1AL, WH) table-dtype
+    xin,         # scratch (TN, H1AL, WH) f32
+    xres,        # scratch (TN, H+1, WH) f32
+    *,
+    H: int,
+    W: int,
+    Hpg: int,
+    TN: int,
+    Np: int,
+    nreal: int,
+):
+    NT = Np // TN
+    t = pl.program_id(1)
+    row = (pl.program_id(0) * NT + t) % 8
+    _fill_xres(
+        packed_ref, t3_ref, f_ref, shift_ref, gcol_ref, win, xin, xres, row, H
+    )
 
     # y-mix + flatten: static per-query-row lerp and per-head lane stores.
     # Padded keys (global index >= nreal) get -1e30 so the consumer's softmax
@@ -164,38 +179,15 @@ def _bwd_kernel(
     def _():
         dt3_ref[...] = jnp.zeros(dt3_ref.shape, dt3_ref.dtype)
 
-    def extract(i, c):
-        packed = packed_ref[row, i]
-        ys = packed >> 16
-        ms = packed & 0xFFFF
-        ys8 = pl.multiple_of((ys // 8) * 8, 8)
-        win[i] = t3_ref[0, pl.ds(ms, 3), pl.ds(ys8, H1AL), :]
-        return c
-
-    jax.lax.fori_loop(0, TN, extract, 0)
-
-    # recompute forward x-mix (residual-free backward)
-    f = f_ref[0, 0]
-    phi = gcol_ref[...] + f
-    cross = jnp.floor(phi)
-    wx = (phi - cross)[:, None, :]
-    cb = (cross > 0.5)[:, None, :]
+    # recompute forward front-end (residual-free backward)
+    wx, cb = _fill_xres(
+        packed_ref, t3_ref, f_ref, shift_ref, gcol_ref, win, xin, xres, row, H
+    )
     w0 = win[:, 0].astype(jnp.float32)
     w1 = win[:, 1].astype(jnp.float32)
     w2 = win[:, 2].astype(jnp.float32)
     left = jnp.where(cb, w1, w0)
     right = jnp.where(cb, w2, w1)
-    xin[...] = (1.0 - wx) * left + wx * right
-
-    shift = shift_ref[0, 0]
-    for s in range(8):
-        smask = shift == float(s)
-
-        @pl.when(jnp.any(smask))
-        def _(s=s, smask=smask):
-            xres[...] = jnp.where(
-                smask[:, None, :], xin[:, s : s + H + 1, :], xres[...]
-            )
 
     # ---- transposed y-mix: d_xres and d_wy ----
     wy = wy_ref[0, 0]
@@ -216,6 +208,7 @@ def _bwd_kernel(
     dwy_ref[0, 0] = dwy_acc
 
     # ---- transposed shift resolve: d_xin ----
+    shift = shift_ref[0, 0]  # (TN, 1) f32
     dxin[...] = jnp.zeros(dxin.shape, dxin.dtype)
     for s in range(8):
         smask = shift == float(s)

@@ -14,6 +14,8 @@ import pytest
 
 from bevrender_tpu.ops.deform_attn import (
     _lattice_bias_nm,
+    dense_deform_attention_reference,
+    fused_site_attention,
     lattice_shift_class,
     streamed_deform_attention,
 )
@@ -130,6 +132,84 @@ class TestFusedLatticeBias:
         np.testing.assert_allclose(
             np.asarray(out_got), np.asarray(out_ref), rtol=2e-2, atol=2e-2
         )
+
+    def test_fused_site_forward_matches_dense_reference(self):
+        # full fusion (bias + scores + online softmax + AV in one kernel)
+        # vs the all-f32 dense reference; the kernel's table staging is bf16
+        # (production compute dtype), hence the loose tolerance
+        for B, G, Hpg, H, W, d, ch, seed in (
+            (2, 2, 2, 8, 8, 2, 4, 0),
+            (1, 1, 2, 6, 4, 1, 8, 7),   # N=24 -> Np=64: padded keys masked
+            (1, 2, 1, 4, 4, 3, 16, 3),  # wide table, more channels
+        ):
+            table, k_pos, H, W, N = _setup(B=B, G=G, Hpg=Hpg, H=H, W=W, d=d,
+                                           seed=seed)
+            key = jax.random.PRNGKey(seed + 100)
+            ks = jax.random.split(key, 3)
+            q = jax.random.normal(ks[0], (B, G, Hpg, H * W, ch))
+            k = jax.random.normal(ks[1], (B, G, Hpg, N, ch))
+            v = jax.random.normal(ks[2], (B, G, Hpg, N, ch))
+            q_pos = jnp.stack(
+                jnp.meshgrid(
+                    jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, W),
+                    indexing="ij",
+                ),
+                axis=-1,
+            ).reshape(H * W, 2)
+            scale = ch ** -0.5
+            out_ref = dense_deform_attention_reference(
+                q, k, v, q_pos, k_pos, table, scale=scale
+            )
+            out_got = fused_site_attention(
+                q, k, v, k_pos, table, H, W, scale, True
+            )
+            assert out_got.shape == out_ref.shape
+            np.testing.assert_allclose(
+                np.asarray(out_got), np.asarray(out_ref),
+                rtol=2e-2, atol=2e-2,
+            )
+
+    def test_fused_site_grads_match_xla_path(self):
+        # the custom VJP recomputes through the XLA consumer; gradients must
+        # match the non-fused streamed path exactly (same backward program)
+        table, k_pos, H, W, N = _setup(B=1, G=2, Hpg=2, H=8, W=8, d=2, seed=2)
+        ch = 4
+        key = jax.random.PRNGKey(11)
+        ks = jax.random.split(key, 3)
+        q = jax.random.normal(ks[0], (1, 2, 2, H * W, ch))
+        k = jax.random.normal(ks[1], (1, 2, 2, N, ch))
+        v = jax.random.normal(ks[2], (1, 2, 2, N, ch))
+        q_pos = jnp.stack(
+            jnp.meshgrid(
+                jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, W), indexing="ij"
+            ),
+            axis=-1,
+        ).reshape(H * W, 2)
+        scale = ch ** -0.5
+
+        def loss_fused(q, k, v, k_pos, table):
+            out = fused_site_attention(q, k, v, k_pos, table, H, W, scale, True)
+            w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)
+            return jnp.sum(out * w / out.size)
+
+        def loss_ref(q, k, v, k_pos, table):
+            out = streamed_deform_attention(
+                q, k, v, q_pos, k_pos, table, scale=scale,
+                lattice_hw=(H, W), lattice_kernel=False,
+            )
+            w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)
+            return jnp.sum(out * w / out.size)
+
+        g_got = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            q, k, v, k_pos, table
+        )
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+            q, k, v, k_pos, table
+        )
+        for a, b in zip(g_got, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
 
     def test_shift_class_range(self):
         table, k_pos, H, W, N = _setup()
