@@ -168,6 +168,67 @@ class TorchBEVRender(nn.Module):
         return self.decoder(prev)
 
 
+def measure_stages(reps: int = 3, T: int = 2) -> dict:
+    """Per-stage timings for the BASELINE.json measurement matrix
+    (BASELINE.md "Measurement plan"): 1 backbone-only, 2 proj+SCA,
+    3 TSA sequence, 4 encoder+decoder render. (5, end-to-end, is
+    ``measure``.) Median-of-reps wall ms, eval mode, no_grad."""
+    model = TorchBEVRender().eval()
+    out = {}
+
+    def med(fn, n=reps):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2] * 1e3
+
+    with torch.no_grad():
+        # 1. img_backbone CNN, single ground-camera frame, batch=1
+        frame = torch.randn(1, 3, 224, 224)
+        model.backbone(frame)  # warm
+        out["backbone_1frame_ms"] = med(lambda: model.backbone(frame))
+
+        # 2. camera->BEV projection + SCA, single timestep (3 views)
+        stage = model.stages[0]
+        x = model.embedding[None]
+        feats = torch.randn(1, 3, 64, 28, 28)
+        kg2 = _norm_grid(stage.bev // 2, stage.bev * stage.depth_dim)
+        kg2 = kg2[None]
+        qg = _norm_grid(stage.bev, stage.bev)
+
+        def sca_views():
+            for v in range(3):
+                stage.sca(stage.norm(x), feats[:, v], kg2, qg)
+
+        sca_views()
+        out["proj_sca_1layer_3views_ms"] = med(sca_views)
+
+        # 3. TSA over a T-frame BEV query sequence
+        kg = _norm_grid(stage.hk, stage.hk)[None]
+
+        def tsa_seq():
+            for _ in range(T):
+                stage.tsa(stage.norm(x), x, kg, qg)
+
+        tsa_seq()
+        out["tsa_seq_T%d_ms" % T] = med(tsa_seq)
+
+        # 4. full encoder -> decoder render, single timestep
+        feats_v = torch.randn(1, 3, 64, 28, 28)
+
+        def enc_dec():
+            h = model.embedding[None]
+            for s in model.stages:
+                h = s(h, feats_v)
+            model.decoder(h)
+
+        enc_dec()
+        out["encoder_decoder_1t_ms"] = med(enc_dec, n=1)
+    return out
+
+
 def measure(frames: int = 2, T: int = 2) -> float:
     model = TorchBEVRender().eval()
     images = torch.randn(1, T, 3, 3, 224, 224)
@@ -186,19 +247,30 @@ def measure(frames: int = 2, T: int = 2) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--stages", action="store_true",
+                    help="also measure the 5-config matrix (BASELINE.md)")
     ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent
                                          / "BASELINE_MEASURED.json"))
     args = ap.parse_args()
     torch.set_num_threads(torch.get_num_threads())
+    out_path = Path(args.out)
+    payload = {}
+    if out_path.exists():  # preserve fields written by other tools
+        try:
+            payload = json.loads(out_path.read_text())
+        except json.JSONDecodeError:
+            payload = {}
     fps = measure(args.frames)
-    payload = {
+    payload.update({
         "torch_cpu_render_register_fps": fps,
         "frames": args.frames,
         "threads": torch.get_num_threads(),
         "timestamp": time.time(),
         "config": "flagship uniform-28 BEVRender, B=1, T=2, 3 views, 224x224",
-    }
-    Path(args.out).write_text(json.dumps(payload, indent=2))
+    })
+    if args.stages:
+        payload["stages_torch_cpu_ms"] = measure_stages()
+    out_path.write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload))
 
 

@@ -293,6 +293,14 @@ def main():
     baseline = _torch_baseline_fps()
     vs = fps / baseline if baseline == baseline and baseline > 0 else None
 
+    pyramid = None
+    pyr_path = ROOT / "PYRAMID_BENCH.json"
+    if pyr_path.exists():
+        try:
+            pyramid = json.loads(pyr_path.read_text())
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"PYRAMID_BENCH.json unreadable: {e!r}", file=sys.stderr)
+
     def result_json(train_ms):
         train_mfu = None
         if train_ms and flops.get("train_flops"):
@@ -320,6 +328,10 @@ def main():
             "baseline_fps": (
                 round(baseline, 5) if baseline == baseline else None
             ),
+            # reference-default full-width pyramid numbers, measured by
+            # scripts/pyramid_bench.py (kept out of this run: its fresh
+            # compile is tens of minutes)
+            "pyramid": pyramid,
         }
 
     # emit the eval-only line immediately so a hung/failed train compile

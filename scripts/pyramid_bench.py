@@ -1,0 +1,135 @@
+"""Reference-default pyramid config at FULL width on the TPU.
+
+The published architecture (encoder.py:23-38: BEV 56->28->14->7->14->28->56,
+widths 64->128->256->512->256->128->64) had never executed at full width
+anywhere — the repo's CPU test scales widths 4x down. This script compiles
+and times it on the chip: forward (eval) and one train step, B=2 T=2 bf16,
+and writes ``PYRAMID_BENCH.json`` (merged into bench.py's output line so the
+driver bench never pays the pyramid compile).
+
+Run:  python scripts/pyramid_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bevrender_tpu.utils import enable_compilation_cache
+
+
+def main():
+    enable_compilation_cache()
+    assert jax.default_backend() == "tpu"
+
+    from bevrender_tpu.config import Config
+    from bevrender_tpu.data.dataset import SyntheticDataset
+    from bevrender_tpu.models.bevrender import BEVRenderModel
+    from bevrender_tpu.training.trainer import Trainer
+
+    B = 2
+    cfg = Config()  # full reference defaults: pyramid shapes, widths to 512
+    cfg.model.dtype = "bfloat16"
+    cfg.model.drop_path_rate = 0.0
+    cfg.data.window_num_imgs = 1  # T=2
+    cfg.train.batch_size = B
+    cfg.train.loss_type = "MSE_CONTRASTIVE"
+    cfg.train.use_wandb = False
+    cfg.train.ckpt_dir = "/tmp/pyr_bench_ckpt"
+
+    model = BEVRenderModel(cfg)
+    ds = SyntheticDataset(
+        n_items=B, num_views=3, window_num_imgs=1,
+        img_height=224, img_width=224, map_tile=224,
+    )
+    batch = {k: np.stack([ds[i][k] for i in range(B)]) for k in ds[0]}
+    print("init...", flush=True)
+    t0 = time.perf_counter()
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"init done ({time.perf_counter()-t0:.0f}s), "
+          f"{n_params/1e6:.1f}M params", flush=True)
+
+    camera = jnp.asarray(batch["camera"])
+    pose = jnp.asarray(batch["vehicle_pose"])
+    vtype = jnp.asarray(batch["vehicle_type"])
+
+    @jax.jit
+    def eval_loop(variables, camera, pose, vtype, n):
+        def body(i, acc):
+            cam = camera + i.astype(camera.dtype) * 1e-9
+            out = model.apply(variables, cam, pose, vtype, train=False)
+            return acc + jnp.sum(out[0, :1, :1]).astype(jnp.float32) * 1e-9
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(eval_loop(variables, camera, pose, vtype, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    print("compiling eval loop...", flush=True)
+    t0 = time.perf_counter()
+    timed(1)
+    print(f"eval compile+warm {time.perf_counter()-t0:.0f}s", flush=True)
+    runs = []
+    for _ in range(3):
+        t1, t2 = timed(2), timed(8)
+        runs.append((t2 - t1) / 6)
+    eval_ms = min(runs) * 1e3
+    out = {
+        "config": "reference-default pyramid 56-28-14-7-14-28-56, "
+                  "widths 64-512, bf16, B=2, T=2, 3 views",
+        "n_params_m": round(n_params / 1e6, 2),
+        "eval_ms_per_batch": round(eval_ms, 2),
+        "eval_frames_per_sec": round(B / (eval_ms / 1e3), 3),
+    }
+    print(json.dumps(out), flush=True)
+    (ROOT / "PYRAMID_BENCH.json").write_text(json.dumps(out, indent=1))
+
+    # ---- one train step (full pyramid backward) ----
+    trainer = Trainer(model, cfg, ds)
+    state = trainer.create_state(jax.random.PRNGKey(0), batch)
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    @jax.jit
+    def train_loop(state, batch, n):
+        def body(i, st):
+            b = dict(batch)
+            b["camera"] = batch["camera"] + i.astype(batch["camera"].dtype) * 1e-9
+            st, _, _ = trainer._train_step_impl(
+                st, b, jax.random.fold_in(jax.random.PRNGKey(2), i)
+            )
+            return st
+        st = jax.lax.fori_loop(0, n, body, state)
+        return jnp.sum(jax.tree_util.tree_leaves(st.params)[0].ravel()[:1])
+
+    def ttimed(n):
+        t0 = time.perf_counter()
+        float(train_loop(state, dev_batch, jnp.int32(n)))
+        return time.perf_counter() - t0
+
+    print("compiling train loop...", flush=True)
+    t0 = time.perf_counter()
+    ttimed(1)
+    print(f"train compile+warm {time.perf_counter()-t0:.0f}s", flush=True)
+    tr = []
+    for _ in range(2):
+        t1, t2 = ttimed(2), ttimed(6)
+        tr.append((t2 - t1) / 4)
+    out["train_ms_per_step"] = round(min(tr) * 1e3, 2)
+    out["train_frames_per_sec"] = round(B / (min(tr)), 3)
+    print(json.dumps(out), flush=True)
+    (ROOT / "PYRAMID_BENCH.json").write_text(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,19 @@ def main() -> int:
     ap.add_argument("--target-r1", type=float, default=60.0,
                     help="stop early once train R@1 reaches this (percent)")
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--world", type=int, default=0,
+                    help="world size override; larger spreads the trace so "
+                         "adjacent tiles overlap less (better-conditioned "
+                         "retrieval). 0 = auto (4x the crop footprint)")
+    ap.add_argument("--keep-pose", action="store_true",
+                    help="feed the raw trace poses. Default zeroes ego-motion"
+                         ": the model warps prev_bev by pose deltas in BEV "
+                         "pixels at EVAL only (reference parity, "
+                         "encoder.py:366), and the synthetic trace's poses "
+                         "are world pixels — deltas of tens of BEV pixels "
+                         "resample history into garbage that training (no "
+                         "warp) never adapts to, collapsing eval recall "
+                         "while train-mode recall is ~100%")
     ap.add_argument("--out", default=str(ROOT / "RECALL_r03.json"))
     args = ap.parse_args()
 
@@ -101,7 +114,7 @@ def main() -> int:
     # the dataset's trace spans [m, world - m] with m = map_tile + img_height;
     # world must be comfortably larger than 2m or every pose collapses onto
     # one point and the retrieval task is degenerate (all tiles identical)
-    world = max(256, 4 * (map_tile + mdl.img_height))
+    world = args.world or max(256, 4 * (map_tile + mdl.img_height))
     ds_kwargs = dict(
         n_items=n, num_views=mdl.num_views, window_num_imgs=1,
         img_height=mdl.img_height, img_width=mdl.img_width,
@@ -120,6 +133,11 @@ def main() -> int:
     ds_val = SyntheticGeoDataset(**ds_kwargs)
     ds_val.seed = 1  # world already built; reseeds only the per-item noise
     val_batch = collate([ds_val[i] for i in range(n)])
+    if not args.keep_pose:
+        # crops stay at their trace positions; only the POSE INPUT is zeroed
+        # (see --keep-pose help: unit-consistent ego-motion for the eval warp)
+        batch["vehicle_pose"][:] = 0.0
+        val_batch["vehicle_pose"][:] = 0.0
 
     model = BEVRenderModel(cfg)
     trainer = Trainer(model, cfg, ds)
@@ -171,17 +189,18 @@ def main() -> int:
             "elapsed_s": round(time.perf_counter() - t0, 1),
         }
         curve.append(row)
+        fmt = lambda v, p: f"{v:.{p}f}" if v is not None else "-"
         print(
-            f"steps {steps}: loss={row['train_loss']:.4f} "
-            f"(render {row['render_loss']:.4f} + retr "
-            f"{row['retrieval_loss']:.4f}, |g|={row['grad_norm']:.2f}) "
+            f"steps {steps}: loss={fmt(row['train_loss'], 4)} "
+            f"(render {fmt(row['render_loss'], 4)} + retr "
+            f"{fmt(row['retrieval_loss'], 4)}, |g|={fmt(row['grad_norm'], 2)}) "
             f"train R@1={r1:.1f}% val R@1={v1:.1f}% "
             f"(chance {chance:.1f}%) [{row['elapsed_s']:.0f}s]", flush=True,
         )
         return r1, v1
 
     t0 = time.perf_counter()
-    nanm = {k: float("nan") for k in (
+    nanm = {k: None for k in (
         "train_batch_loss", "train_batch_render_loss",
         "train_batch_retrieval_loss", "camera_encoder_grad_norm")}
     record(0, nanm, t0)
