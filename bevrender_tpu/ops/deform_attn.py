@@ -458,9 +458,14 @@ def streamed_deform_attention(
     if lattice_hw is not None:
         use_dropout = dropout_rate > 0.0 and dropout_rng is not None
         on_tpu = jax.default_backend() == "tpu"
-        if lattice_kernel and on_tpu and not use_dropout:
-            # fully fused site: bias + scores + online softmax + AV in one
-            # Pallas kernel — neither bias nor scores touch HBM
+        # fully fused site: bias + scores + online softmax + AV in one
+        # Pallas kernel — neither bias nor scores touch HBM. Profitable at
+        # narrow head channels where the score/AV contractions are
+        # MXU-hostile and the n-major bias tensor is large (measured on
+        # v5e, scripts/site_bench.py: G=8/ch=4 fwd 6.9 -> 5.0 ms, but
+        # G=1/ch=32 0.44 -> 1.37 ms — the VPU outer-product loop loses to
+        # MXU matmuls at wide ch); ch <= 8 is the measured crossover.
+        if lattice_kernel and on_tpu and not use_dropout and ch <= 8:
             return fused_site_attention(
                 q, k, v, k_pos, rpe_table, *lattice_hw,
                 scale=scale, interpret=False,

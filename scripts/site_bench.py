@@ -67,6 +67,8 @@ def main():
     results = {}
     for name, B, G, Hpg, H, W, d, ch in (
         ("g8_narrow", 4, 8, 2, 28, 28, 4, 4),
+        ("g4_ch8", 4, 4, 2, 28, 28, 4, 8),
+        ("g2_ch16", 4, 2, 2, 28, 28, 4, 16),
         ("g1_wide", 4, 1, 2, 28, 28, 4, 32),
     ):
         N = (H // 2) * W * d
