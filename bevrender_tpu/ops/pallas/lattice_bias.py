@@ -72,6 +72,9 @@ def _fill_xres(
     jax.lax.fori_loop(0, TN, extract, 0)
 
     # x-mix: phi = g[lane] + f[key]; c = floor(phi) in {0,1}; wx = frac(phi)
+    # computed in f32, stored in the scratch dtype (bf16 in production —
+    # halves the VMEM vector traffic of the mix/resolve stages and matches
+    # the XLA lattice path, which mixes in compute_dtype throughout)
     f = f_ref[0, 0]  # (TN, 1)
     phi = gcol_ref[...] + f  # (1, WH) + (TN, 1) -> (TN, WH)
     cross = jnp.floor(phi)
@@ -82,7 +85,7 @@ def _fill_xres(
     w2 = win[:, 2].astype(jnp.float32)
     left = jnp.where(cb, w1, w0)
     right = jnp.where(cb, w2, w1)
-    xin[...] = (1.0 - wx) * left + wx * right
+    xin[...] = ((1.0 - wx) * left + wx * right).astype(xin.dtype)
 
     # shift resolve: one masked copy per class present in this tile
     shift = shift_ref[0, 0]  # (TN, 1) f32
@@ -321,8 +324,8 @@ def _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret,
         ),
         scratch_shapes=[
             pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H1AL, WH), jnp.float32),
-            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
+            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
         ],
         out_shape=jax.ShapeDtypeStruct((B, G, Hpg, Np, M), t3m.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -399,8 +402,8 @@ def _bwd_call(t3m, wy, f, shift, packed, gcol, g_out, H, W, Hpg, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H1AL, WH), jnp.float32),
-            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
+            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
             pltpu.VMEM((TN, H + 1, WH), jnp.float32),
             pltpu.VMEM((TN, H1AL, WH), jnp.float32),
             pltpu.VMEM((TN, 3, H1AL, WH), jnp.float32),

@@ -33,6 +33,9 @@ from bevrender_tpu.utils import enable_compilation_cache
 
 
 def bench_apply(fn, *args, n1=2, n2=10, reps=3):
+    """Device-side differenced timing. For sub-ms stages pass large n1/n2:
+    the tunnel's per-call RPC noise is several ms, so the counted-iteration
+    aggregate must be >> that or the difference goes negative."""
     @jax.jit
     def loop(args, n):
         def body(i, acc):
@@ -71,17 +74,22 @@ def main():
     from bevrender_tpu.models.bevrender import BEVRenderModel
     from bevrender_tpu.data.dataset import SyntheticDataset
 
+    from bevrender_tpu.models.layers import set_default_compute_dtype
+
+    set_default_compute_dtype("bfloat16")
     rng = jax.random.PRNGKey(0)
     out = {}
     dt = jnp.bfloat16
 
     # 1. backbone, one frame, B=1 (matrix config 1)
-    bb = ResNet18WoFPN(dtype=dt)
+    from bevrender_tpu.models.layers import make_norm
+
+    bb = ResNet18WoFPN(bev_dim=28, norm=make_norm("batch", axis_name=None))
     frame = jax.random.normal(rng, (1, 224, 224, 3), dt)
     vs = bb.init(rng, frame, train=False)
     out["backbone_1frame_ms"] = round(
         bench_apply(
-            lambda f: bb.apply(vs, f, train=False), frame
+            lambda f: bb.apply(vs, f, train=False), frame, n1=16, n2=144
         ), 3,
     )
     print(f"backbone: {out['backbone_1frame_ms']} ms", flush=True)
@@ -122,7 +130,7 @@ def main():
         h = tsa.apply(tvs, q, q, deterministic=True)
         return tsa.apply(tvs, h, q, deterministic=True)
 
-    out["tsa_seq_T2_ms"] = round(bench_apply(tsa_seq, q), 3)
+    out["tsa_seq_T2_ms"] = round(bench_apply(tsa_seq, q, n1=16, n2=144), 3)
     print(f"TSA x2: {out['tsa_seq_T2_ms']} ms", flush=True)
 
     # 4. encoder + decoder, single timestep (config 4; includes one
