@@ -187,6 +187,9 @@ class TSADeformableAttention(nn.Module):
             chunk=self.chunk,
             lattice_hw=(H, W),
             lattice_kernel=self.use_pallas,
+            # fused site only at eval: its backward recomputes through the
+            # XLA consumer, so it loses fwd+bwd (ops/deform_attn.py)
+            fuse_site=deterministic,
             dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
             dropout_rng=(
                 self.make_rng("dropout")
@@ -323,6 +326,8 @@ class SCADeformableAttention(nn.Module):
                 chunk=self.chunk,
                 lattice_hw=(H, W),
                 lattice_kernel=self.use_pallas,
+                # fused site only at eval (see TSA note / ops/deform_attn.py)
+                fuse_site=deterministic,
                 dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
                 dropout_rng=(
                     self.make_rng("dropout")

@@ -441,6 +441,7 @@ def streamed_deform_attention(
     dropout_rng: Optional[jax.Array] = None,
     lattice_hw: Optional[tuple] = None,
     lattice_kernel: bool = False,
+    fuse_site: bool = True,
 ) -> jax.Array:
     """Attention over sampled keys with continuous relative-position bias.
 
@@ -465,7 +466,12 @@ def streamed_deform_attention(
         # v5e, scripts/site_bench.py: G=8/ch=4 fwd 6.9 -> 5.0 ms, but
         # G=1/ch=32 0.44 -> 1.37 ms — the VPU outer-product loop loses to
         # MXU matmuls at wide ch); ch <= 8 is the measured crossover.
-        if lattice_kernel and on_tpu and not use_dropout and ch <= 8:
+        # ``fuse_site=False`` (the callers pass ``deterministic``) keeps
+        # training on the XLA consumer: the fused site's backward
+        # recomputes through :func:`_site_xla`, so fwd+bwd pays fused-fwd
+        # ON TOP of the full XLA fwd+bwd (measured 11.9 vs 7.9 ms at
+        # G=8/ch=4) — fusion only wins when no gradient will flow.
+        if fuse_site and lattice_kernel and on_tpu and not use_dropout and ch <= 8:
             return fused_site_attention(
                 q, k, v, k_pos, rpe_table, *lattice_hw,
                 scale=scale, interpret=False,

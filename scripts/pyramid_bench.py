@@ -80,11 +80,11 @@ def main():
     t0 = time.perf_counter()
     timed(1)
     print(f"eval compile+warm {time.perf_counter()-t0:.0f}s", flush=True)
-    runs = []
-    for _ in range(3):
-        t1, t2 = timed(2), timed(8)
-        runs.append((t2 - t1) / 6)
-    eval_ms = min(runs) * 1e3
+    # difference min-of-absolute-times (min over reps of the *difference*
+    # selects the most-negative noise excursion; see utils/timing.py)
+    t1 = min(timed(2) for _ in range(3))
+    t2 = min(timed(8) for _ in range(3))
+    eval_ms = (t2 - t1) / 6 * 1e3
     out = {
         "config": "reference-default pyramid 56-28-14-7-14-28-56, "
                   "widths 64-512, bf16, B=2, T=2, 3 views",
@@ -121,12 +121,11 @@ def main():
     t0 = time.perf_counter()
     ttimed(1)
     print(f"train compile+warm {time.perf_counter()-t0:.0f}s", flush=True)
-    tr = []
-    for _ in range(2):
-        t1, t2 = ttimed(2), ttimed(6)
-        tr.append((t2 - t1) / 4)
-    out["train_ms_per_step"] = round(min(tr) * 1e3, 2)
-    out["train_frames_per_sec"] = round(B / (min(tr)), 3)
+    t1 = min(ttimed(2) for _ in range(2))
+    t2 = min(ttimed(6) for _ in range(2))
+    step_s = (t2 - t1) / 4
+    out["train_ms_per_step"] = round(step_s * 1e3, 2)
+    out["train_frames_per_sec"] = round(B / step_s, 3)
     print(json.dumps(out), flush=True)
     (ROOT / "PYRAMID_BENCH.json").write_text(json.dumps(out, indent=1))
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
@@ -24,31 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from bevrender_tpu.utils import enable_compilation_cache
-
-
-def bench_fn(fn, *args, n1=2, n2=10, reps=3):
-    """min over reps of ((t(n2) - t(n1)) / (n2 - n1))."""
-
-    @jax.jit
-    def loop(args, n):
-        def body(i, acc):
-            a0 = args[0] * (1.0 + i.astype(args[0].dtype) * 1e-9)
-            out = fn(a0, *args[1:])
-            return acc + jnp.sum(out[..., :1, :1]).astype(jnp.float32) * 1e-9
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    def timed(n):
-        t0 = time.perf_counter()
-        float(loop(args, jnp.int32(n)))
-        return time.perf_counter() - t0
-
-    timed(1)
-    runs = []
-    for _ in range(reps):
-        t1 = timed(n1)
-        t2 = timed(n2)
-        runs.append((t2 - t1) / (n2 - n1))
-    return min(runs) * 1e3
+from bevrender_tpu.utils.timing import device_bench as bench_fn
 
 
 def main():

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
@@ -30,33 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bevrender_tpu.utils import enable_compilation_cache
-
-
-def bench_apply(fn, *args, n1=2, n2=10, reps=3):
-    """Device-side differenced timing. For sub-ms stages pass large n1/n2:
-    the tunnel's per-call RPC noise is several ms, so the counted-iteration
-    aggregate must be >> that or the difference goes negative."""
-    @jax.jit
-    def loop(args, n):
-        def body(i, acc):
-            a0 = args[0] * (1.0 + i.astype(jnp.float32) * 1e-9).astype(
-                args[0].dtype
-            )
-            out = fn(a0, *args[1:])
-            return acc + jnp.sum(out[..., :1]).astype(jnp.float32) * 1e-9
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    def timed(n):
-        t0 = time.perf_counter()
-        float(loop(args, jnp.int32(n)))
-        return time.perf_counter() - t0
-
-    timed(1)
-    runs = []
-    for _ in range(reps):
-        t1, t2 = timed(n1), timed(n2)
-        runs.append((t2 - t1) / (n2 - n1))
-    return min(runs) * 1e3
+from bevrender_tpu.utils.timing import device_bench as bench_apply
 
 
 def main():
@@ -89,7 +62,7 @@ def main():
     vs = bb.init(rng, frame, train=False)
     out["backbone_1frame_ms"] = round(
         bench_apply(
-            lambda f: bb.apply(vs, f, train=False), frame, n1=16, n2=144
+            lambda f: bb.apply(vs, f, train=False), frame
         ), 3,
     )
     print(f"backbone: {out['backbone_1frame_ms']} ms", flush=True)
@@ -130,7 +103,7 @@ def main():
         h = tsa.apply(tvs, q, q, deterministic=True)
         return tsa.apply(tvs, h, q, deterministic=True)
 
-    out["tsa_seq_T2_ms"] = round(bench_apply(tsa_seq, q, n1=16, n2=144), 3)
+    out["tsa_seq_T2_ms"] = round(bench_apply(tsa_seq, q), 3)
     print(f"TSA x2: {out['tsa_seq_T2_ms']} ms", flush=True)
 
     # 4. encoder + decoder, single timestep (config 4; includes one
