@@ -268,13 +268,14 @@ def main():
         return time.perf_counter() - t0
 
     timed(1)  # compile + warm
-    runs = []
     N1, N2 = 2, 10  # 3 runs x 8 counted iters = 24 timed iterations
-    for _ in range(3):
-        t1 = timed(N1)
-        t2 = timed(N2)
-        runs.append((t2 - t1) / (N2 - N1))
-    eval_ms = min(runs) * 1e3
+    # min each absolute time separately, then difference once: min over
+    # reps of the *difference* selects the most-negative noise excursion
+    # (see bevrender_tpu/utils/timing.py)
+    t1s = [timed(N1) for _ in range(3)]
+    t2s = [timed(N2) for _ in range(3)]
+    runs = [(b - a) / (N2 - N1) for a, b in zip(t1s, t2s)]
+    eval_ms = (min(t2s) - min(t1s)) / (N2 - N1) * 1e3
     fps = batch_size / (eval_ms / 1e3)
 
     # analytic FLOPs for MFU (denominator: 197 bf16 TFLOP/s, v5e peak)
@@ -368,12 +369,9 @@ def main():
             return time.perf_counter() - t0
 
         ttimed(1)
-        tr_runs = []
-        for _ in range(2):
-            t1 = ttimed(2)
-            t2 = ttimed(8)
-            tr_runs.append((t2 - t1) / 6)
-        train_ms = min(tr_runs) * 1e3
+        t1 = min(ttimed(2) for _ in range(2))
+        t2 = min(ttimed(8) for _ in range(2))
+        train_ms = (t2 - t1) / 6 * 1e3
     except Exception as e:  # pragma: no cover - keep the headline alive
         print(f"train-step bench failed: {e!r}", file=sys.stderr)
 

@@ -463,9 +463,9 @@ def streamed_deform_attention(
         # Pallas kernel — neither bias nor scores touch HBM. Profitable at
         # narrow head channels where the score/AV contractions are
         # MXU-hostile and the n-major bias tensor is large (measured on
-        # v5e, scripts/site_bench.py: G=8/ch=4 fwd 6.9 -> 5.0 ms, but
-        # G=1/ch=32 0.44 -> 1.37 ms — the VPU outer-product loop loses to
-        # MXU matmuls at wide ch); ch <= 8 is the measured crossover.
+        # v5e, SITE_BENCH.json: G=8/ch=4 fwd 7.05 -> 6.30 ms, tie at ch=8,
+        # but G=1/ch=32 0.75 -> 1.21 ms — the VPU outer-product loop loses
+        # to MXU matmuls at wide ch); ch <= 8 is the measured crossover.
         # ``fuse_site=False`` (the callers pass ``deterministic``) keeps
         # training on the XLA consumer: the fused site's backward
         # recomputes through :func:`_site_xla`, so fwd+bwd pays fused-fwd

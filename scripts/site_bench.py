@@ -86,6 +86,12 @@ def main():
                 )
             print(f"{name}/{fname}: {entry}", flush=True)
         results[name] = entry
+    results["note"] = (
+        "ms per call, B=4, v5e chip, device_bench auto-calibrated; fused = "
+        "one-kernel bias+scores+softmax+AV, bias_kernel+xla = Pallas bias + "
+        "XLA consumer (the training path), all_xla = no Pallas"
+    )
+    (ROOT / "SITE_BENCH.json").write_text(json.dumps(results, indent=1))
     print(json.dumps(results), flush=True)
 
 
