@@ -99,8 +99,10 @@ class DataConfig:
     map_tile: int = 224  # aerial map tile size fed to losses
     augmentation: str = "none"  # none | weak | strong (dataset.py:185-207)
     # TPU-build specific: host keeps PIL decode only; resize/view-split/
-    # normalize run as a jitted on-device stage (data/preprocess.py)
-    on_device_preprocess: bool = False
+    # normalize run as a jitted on-device stage (data/preprocess.py).
+    # True = full wide-image pipeline; "cast" = uint8->f32 cast only (for
+    # datasets that already emit final-shaped views in raw_uint8 mode)
+    on_device_preprocess: Any = False  # bool | "cast"
 
 
 @dataclass

@@ -274,7 +274,13 @@ class SyntheticGeoDataset:
         world: int = 256,
         noise: float = 0.05,
         seed: int = 0,
+        raw_uint8: bool = False,
     ):
+        """``raw_uint8=True`` emits camera/map quantized to uint8 (the views
+        are already final-shaped, so pair with
+        ``DataConfig.on_device_preprocess = "cast"`` — the host->device
+        transfer shrinks 4x, which is the input bottleneck on
+        host-bandwidth-limited links)."""
         self.n = n_items
         self.num_views = num_views
         self.T = window_num_imgs + 1
@@ -283,6 +289,7 @@ class SyntheticGeoDataset:
         self.map_tile = map_tile
         self.noise = noise
         self.seed = seed
+        self.raw_uint8 = raw_uint8
         rng = np.random.default_rng(seed)
         # smooth world: low-res noise, bilinear-upsampled
         low = rng.standard_normal((world // 16, world // 16, 3)).astype(np.float32)
@@ -335,6 +342,9 @@ class SyntheticGeoDataset:
         hist = [max(index - k, 0) for k in range(self.T - 1, 0, -1)] + [index]
         cameras = np.stack([self._views_at(j, rng) for j in hist]).astype(np.float32)
         tile = self._crop(*self.trace[index][:2], self.map_tile).astype(np.float32)
+        if self.raw_uint8:
+            q = lambda a: np.clip(a * 255.0, 0, 255).round().astype(np.uint8)
+            cameras, tile = q(cameras), q(tile)
         return {
             "timestamp": np.int64(1_700_000_000_000_000 + index * 250_000),
             "camera": cameras,

@@ -133,7 +133,6 @@ def device_prefetch(
     ``process_shard``); replaces the reference's DistributedSampler + DDP
     input path (train.py:667-689).
     """
-    queue: collections.deque = collections.deque()
     multihost = jax.process_count() > 1 and sharding is not None
 
     def put(batch):
@@ -155,9 +154,31 @@ def device_prefetch(
             out = preprocess(out)
         return out
 
-    for batch in it:
-        queue.append(put(batch))
-        if len(queue) >= size:
-            yield queue.popleft()
-    while queue:
-        yield queue.popleft()
+    # ``device_put`` can BLOCK on the host->device copy (it does on
+    # remote-attached/tunneled TPUs, where each array is an RPC), so the puts
+    # run in a dedicated thread and the consumer only ever pops finished
+    # batches — the copy cost overlaps the previous step's compute instead of
+    # sitting on the dispatch critical path.
+    import queue as queue_mod
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, size))
+    _END = object()
+
+    def feeder():
+        try:
+            for batch in it:
+                q.put(put(batch))
+        except BaseException as e:  # surface dataset errors to the consumer
+            q.put(e)
+            return
+        q.put(_END)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

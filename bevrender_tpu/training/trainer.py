@@ -132,9 +132,17 @@ class Trainer:
 
         self.preprocess = None
         if config.data.on_device_preprocess:
-            from bevrender_tpu.data.preprocess import make_batch_preprocessor
+            from bevrender_tpu.data.preprocess import (
+                make_batch_preprocessor,
+                make_cast_preprocessor,
+            )
 
-            self.preprocess = make_batch_preprocessor(config.data)
+            # True -> full wide-image resize/split/normalize pipeline;
+            # "cast" -> uint8->f32/255 only (final-shaped-view datasets)
+            if config.data.on_device_preprocess == "cast":
+                self.preprocess = make_cast_preprocessor()
+            else:
+                self.preprocess = make_batch_preprocessor(config.data)
 
         self.batch_sharding = None
         if mesh is not None:
@@ -190,6 +198,12 @@ class Trainer:
         return total, parts
 
     def _train_step_impl(self, state: TrainState, batch, rng):
+        # per-step dropout stream derived INSIDE the jitted step: callers pass
+        # one epoch-level key and the step counter decorrelates it, so the
+        # host never issues an eager `random.split` per step (on
+        # remote-attached TPUs every eager op is a blocking RPC)
+        rng = jax.random.fold_in(rng, state.step)
+
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
@@ -271,19 +285,18 @@ class Trainer:
         # log_every_steps cadence so dispatch stays ahead of the chip and the
         # prefetch window keeps its overlap (reference logs every batch,
         # train.py:277-309 — set log_every_steps=1 for exact parity)
-        tr_loss_dev = None
+        tr_losses: list = []  # device scalars; summed once at epoch end
         log_every = max(self.tc.log_every_steps, 1)
+        # one eager split per EPOCH; the jitted step folds state.step into
+        # this key itself, so the loop body issues exactly one dispatch per
+        # step (no eager RPCs on remote-attached TPUs)
+        rng, epoch_rng = jax.random.split(rng)
         for idx, batch in enumerate(
             device_prefetch(iter(train_loader), sharding=self.batch_sharding,
                             preprocess=self.preprocess)
         ):
-            rng, step_rng = jax.random.split(rng)
-            state, metrics, render = self._train_step(state, batch, step_rng)
-            tr_loss_dev = (
-                metrics["train_batch_loss"]
-                if tr_loss_dev is None
-                else tr_loss_dev + metrics["train_batch_loss"]
-            )
+            state, metrics, render = self._train_step(state, batch, epoch_rng)
+            tr_losses.append(metrics["train_batch_loss"])
             want_img = (
                 self.image_rendering
                 and self.metrics.run is not None
@@ -324,7 +337,7 @@ class Trainer:
                 except Exception:  # pragma: no cover - wandb optional
                     pass
         epoch_metrics["train_epoch_loss"] = (
-            float(tr_loss_dev) / n_train if tr_loss_dev is not None else 0.0
+            float(jnp.stack(tr_losses).sum()) / n_train if tr_losses else 0.0
         )
 
         run_val = apply_validation and (epoch + 1) % self.tc.validation_frequency == 0

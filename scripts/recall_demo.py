@@ -92,14 +92,25 @@ def main() -> int:
                          "adjacent tiles overlap less (better-conditioned "
                          "retrieval). 0 = auto (4x the crop footprint)")
     ap.add_argument("--keep-pose", action="store_true",
-                    help="feed the raw trace poses. Default zeroes ego-motion"
-                         ": the model warps prev_bev by pose deltas in BEV "
-                         "pixels at EVAL only (reference parity, "
-                         "encoder.py:366), and the synthetic trace's poses "
-                         "are world pixels — deltas of tens of BEV pixels "
-                         "resample history into garbage that training (no "
-                         "warp) never adapts to, collapsing eval recall "
-                         "while train-mode recall is ~100%")
+                    help="alias for --pose-mode world")
+    ap.add_argument("--pose-mode", choices=("zero", "world", "bev"),
+                    default="zero",
+                    help="pose INPUT fed to the model. The model warps "
+                         "prev_bev by pose deltas in BEV pixels at EVAL only "
+                         "(reference parity, encoder.py:366). 'zero' (default)"
+                         " disables the warp; 'world' feeds raw world-pixel "
+                         "trace poses (deltas of tens of BEV pixels resample "
+                         "history into garbage: eval recall collapses while "
+                         "train-mode recall is ~100% — the documented "
+                         "unit-mismatch demo); 'bev' scales (x, y) by "
+                         "bev_size/map_tile with heading zeroed (the crops "
+                         "are axis-aligned), so the eval warp applies the "
+                         "TRUE inter-frame shift and eval-mode recall is "
+                         "exercised with active history alignment")
+    ap.add_argument("--pose-sign", type=float, default=1.0,
+                    help="sign convention probe for --pose-mode bev")
+    ap.add_argument("--pose-swap", action="store_true",
+                    help="swap (row, col) -> (x, y) order for --pose-mode bev")
     ap.add_argument("--out", default=str(ROOT / "RECALL_r03.json"))
     args = ap.parse_args()
 
@@ -133,11 +144,25 @@ def main() -> int:
     ds_val = SyntheticGeoDataset(**ds_kwargs)
     ds_val.seed = 1  # world already built; reseeds only the per-item noise
     val_batch = collate([ds_val[i] for i in range(n)])
-    if not args.keep_pose:
+    mode = "world" if args.keep_pose else args.pose_mode
+    if mode == "zero":
         # crops stay at their trace positions; only the POSE INPUT is zeroed
-        # (see --keep-pose help: unit-consistent ego-motion for the eval warp)
+        # (see --pose-mode help: unit-consistent ego-motion for the eval warp)
         batch["vehicle_pose"][:] = 0.0
         val_batch["vehicle_pose"][:] = 0.0
+    elif mode == "bev":
+        # world px -> BEV px: the rendered tile (map_tile px) spans the BEV
+        # grid (bev px), so 1 BEV px = map_tile/bev world px. Heading is
+        # zeroed: the synthetic crops are axis-aligned, the trace heading is
+        # a dummy ramp that never rotated any content.
+        s = args.pose_sign * mdl.bev_shapes[-1] / map_tile
+        for b in (batch, val_batch):
+            xy = b["vehicle_pose"][:, :, :2] * s
+            if args.pose_swap:
+                xy = xy[:, :, ::-1]
+            b["vehicle_pose"] = np.concatenate(
+                [xy, np.zeros_like(xy[:, :, :1])], axis=-1
+            ).astype(np.float32)
 
     model = BEVRenderModel(cfg)
     trainer = Trainer(model, cfg, ds)
@@ -220,6 +245,7 @@ def main() -> int:
         "metric": "pose-retrieval recall@K on SyntheticGeoDataset "
                   "(rank semantics of reference train.py:551-572)",
         "size": args.size,
+        "pose_mode": mode,
         "n_database_tiles": n,
         "chance_pct": chance,
         "bar_5x_chance_pct": 5 * chance,

@@ -1,15 +1,30 @@
 """Prove the Trainer host loop keeps the chip busy (de-synced logging).
 
 Round-2 verdict: `float()`-ing every metric each step serialized host and
-device, defeating `device_prefetch`'s overlap. Round 3 accumulates the loss
-on device and syncs only every `log_every_steps`. This script measures, on
-the TPU, the same jitted train step driven two ways:
+device, defeating `device_prefetch`'s overlap. Round 3 removes every
+per-step host<->device interaction from the loop body: the loss accumulates
+as unfetched device scalars (one sum at epoch end), the dropout stream is
+derived inside the jitted step from `state.step` (no eager `random.split`
+per step), and `device_prefetch` runs its `device_put`s in a feeder thread
+so blocking copies overlap the previous step's compute. This script
+measures, on the TPU, the same jitted train step driven two ways:
 
-  A. raw `lax.fori_loop` (no host involvement — the device ceiling),
-  B. the real `Trainer._run_epoch` loop (DataLoader threads ->
-     device_prefetch -> per-step dispatch + cadenced logging),
+  A. raw `lax.fori_loop` over a RESIDENT batch (no host involvement — the
+     device ceiling),
+  B. `Trainer.train` end to end, 2 epochs (DataLoader threads ->
+     device_prefetch -> per-step dispatch + cadenced logging), with the
+     uint8 + on-device-cast input path (the f32 path ships 4x the bytes).
 
-and reports the overhead of B over A. Pass: within ~10%.
+Pass: within ~10% on a directly-attached TPU. On THIS platform the chip
+hangs off a remote RPC tunnel, which adds per-step costs a PCIe host does
+not have: ~10 ms of dispatch RPC latency per step (measured: 5 back-to-back
+dispatches of this step take 52 ms host-side) and a per-batch copy whose
+RPC cost is context-dependent (1-43 ms for the same 0.98 MB batch,
+measured; `batch_transfer_u8_ms` records the in-context value, and
+`overhead_excl_transfer_pct` is the loop's own overhead net of it).
+History: round-2 loop 97% overhead -> 233% after honest 50-step
+measurement -> 47.7% (17.1% net of transfer) with the fixes above,
+100 steps; in-epoch inter-step host gap p50 is 16 ms.
 
 Run:  python scripts/trainer_overlap_bench.py
 """
@@ -49,15 +64,20 @@ def main():
     cfg.train.k_fold = 50  # train split ~= (1 - 1/50) of the data
     cfg.train.epoch_per_fold = 1
     cfg.train.log_every_steps = 10
+    cfg.data.on_device_preprocess = "cast"  # uint8 transfer, cast on device
     n_items = bs * n_steps * 50 // 49 + bs  # >= n_steps train batches
     ds = SyntheticGeoDataset(
         n_items=n_items, num_views=2, window_num_imgs=1,
         img_height=64, img_width=64, map_tile=64, world=4096, noise=0.02,
-        seed=0,
+        seed=0, raw_uint8=True,
     )
     model = BEVRenderModel(cfg)
     trainer = Trainer(model, cfg, ds)
-    batch = collate([ds[i] for i in range(bs)])
+    batch_u8 = collate([ds[i] for i in range(bs)])
+    # float twin of the batch for state creation and the resident raw loop
+    batch = dict(batch_u8)
+    for k in ("camera", "map"):
+        batch[k] = batch_u8[k].astype(np.float32) / 255.0
     state = trainer.create_state(jax.random.PRNGKey(0), batch)
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
@@ -80,20 +100,47 @@ def main():
         return time.perf_counter() - t0
 
     timed(1)
-    t1, t2 = timed(5), timed(5 + n_steps)
+    t1 = min(timed(5) for _ in range(2))
+    t2 = min(timed(5 + n_steps) for _ in range(2))
     raw_ms = (t2 - t1) / n_steps * 1e3
 
-    # --- B: the real Trainer epoch loop (fresh state, same step count) ---
+    # --- host->device transfer cost of one batch (u8 vs f32) ---
+    def transfer_ms(b, reps=10):
+        ts = []
+        for r in range(reps):
+            fresh = {
+                k: (v + np.asarray(r % 3, v.dtype)) if v.dtype != np.uint8
+                else v ^ np.uint8(r % 3)  # defeat transfer caching
+                for k, v in b.items()
+            }
+            t0 = time.perf_counter()
+            put = {k: jax.device_put(v) for k, v in fresh.items()}
+            jax.block_until_ready(put)
+            ts.append(time.perf_counter() - t0)
+        # first put of a new shape-set pays one-time executable warmup;
+        # min over the rest is the steady-state copy cost
+        return min(ts[1:]) * 1e3
+
+    u8_ms = transfer_ms(batch_u8)
+    f32_ms = transfer_ms(batch)
+    mb_u8 = sum(v.nbytes for v in batch_u8.values()) / 1e6
+    mb_f32 = sum(v.nbytes for v in batch.values()) / 1e6
+
+    # --- B: the real Trainer epoch loop (fresh state, 2 epochs to amortize
+    # the per-epoch startup: loader-thread spin-up + feeder warmup) ---
+    import sklearn.model_selection  # noqa: F401 — train() imports it lazily;
+    # on this 1-core host the cold import costs ~10 s and is NOT loop overhead
+
     state_b = trainer.create_state(jax.random.PRNGKey(0), batch)
-    # warm the epoch-path compiles (jitted _train_step with donation)
-    warm_iter = iter([{k: np.asarray(v) for k, v in batch.items()}])
+    # warm the epoch-path compiles (jitted _train_step with donation + cast)
     from bevrender_tpu.data.prefetch import device_prefetch
 
-    wb = next(device_prefetch(warm_iter))
+    warm_iter = iter([{k: np.asarray(v) for k, v in batch_u8.items()}])
+    wb = next(device_prefetch(warm_iter, preprocess=trainer.preprocess))
     state_b, _, _ = trainer._train_step(state_b, wb, jax.random.PRNGKey(3))
 
     t0 = time.perf_counter()
-    state_b = trainer.train(state_b, apply_validation=False, max_epochs=2)
+    state_b = trainer.train(state_b, apply_validation=False, max_epochs=3)
     jax.block_until_ready(jax.tree_util.tree_leaves(state_b.params)[0])
     wall = time.perf_counter() - t0
     steps_done = int(state_b.step) - 1  # minus the warm step
@@ -104,7 +151,20 @@ def main():
         "trainer_loop_ms_per_step": round(loop_ms, 2),
         "trainer_loop_steps": steps_done,
         "overhead_pct": round((loop_ms / raw_ms - 1.0) * 100.0, 1),
+        "batch_transfer_u8_ms": round(u8_ms, 2),
+        "batch_transfer_f32_ms": round(f32_ms, 2),
+        "batch_mb_u8": round(mb_u8, 2),
+        "batch_mb_f32": round(mb_f32, 2),
+        "overhead_excl_transfer_pct": round(
+            ((loop_ms - u8_ms) / raw_ms - 1.0) * 100.0, 1
+        ),
         "log_every_steps": cfg.train.log_every_steps,
+        "note": (
+            "tunnel-attached TPU: the per-step uint8 batch copy crosses a "
+            "remote RPC link; on PCIe-attached hosts it is DMA'd and "
+            "overlapped, so overhead_excl_transfer_pct is the loop's own "
+            "cost"
+        ),
     }
     print(json.dumps(out), flush=True)
     path = ROOT / "TRAINER_OVERLAP.json"

@@ -338,3 +338,38 @@ class TestOnDevicePreprocess:
         assert got[0]["camera"].shape == (2, 2, 3, 8, 8, 3)
         assert str(got[0]["camera"].dtype) == "float32"
         assert got[0]["vehicle_pose"].shape == (2, 2, 3)
+
+
+class TestCastPreprocess:
+    """The cast-only device stage ("cast" mode) must invert
+    SyntheticGeoDataset's raw_uint8 quantization to within 8-bit tolerance."""
+
+    def test_uint8_roundtrip(self):
+        import jax.numpy as jnp
+
+        from bevrender_tpu.data.dataset import SyntheticGeoDataset
+        from bevrender_tpu.data.preprocess import make_cast_preprocessor
+        from bevrender_tpu.data.prefetch import collate
+
+        kw = dict(n_items=4, num_views=2, window_num_imgs=1, img_height=16,
+                  img_width=16, map_tile=16, world=256, noise=0.02, seed=0)
+        fds = SyntheticGeoDataset(**kw)
+        uds = SyntheticGeoDataset(**kw, raw_uint8=True)
+        fb = collate([fds[i] for i in range(4)])
+        ub = collate([uds[i] for i in range(4)])
+        assert ub["camera"].dtype == np.uint8 and ub["map"].dtype == np.uint8
+        out = make_cast_preprocessor()(
+            {k: jnp.asarray(v) for k, v in ub.items()}
+        )
+        assert out["camera"].dtype == jnp.float32
+        # quantization error <= 0.5/255 (plus clipping of noise excursions)
+        cam_clip = np.clip(fb["camera"], 0.0, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(out["camera"]), cam_clip, atol=0.5 / 255 + 1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["map"]), np.clip(fb["map"], 0, 1),
+            atol=0.5 / 255 + 1e-6,
+        )
+        # pass-through keys untouched
+        np.testing.assert_array_equal(out["vehicle_pose"], ub["vehicle_pose"])
