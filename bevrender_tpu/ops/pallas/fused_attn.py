@@ -7,10 +7,10 @@ kernel consumes the bias in-VMEM: per (b, g) cell and key tile it
 
   1. builds the bias tile with the shared front-end
      (``lattice_bias._fill_xres`` + y-mix) into a VMEM scratch,
-  2. computes ``s = scale * K_tile Q^T + bias`` as ``ch`` VPU outer-product
-     FMAs per head (head channels are 4..32 at the flagship sites — an
-     MXU-hostile contraction the 128x128 systolic array would waste; the
-     (TN, M) broadcasts are exactly what the VPU is for),
+  2. computes ``s = scale * K_tile Q^T + bias`` with an MXU ``dot_general``
+     per head (the ch=4..8 contraction under-fills the systolic array, but
+     one MXU pass beats ch VPU sweeps of the (TN, M) tile and runs
+     concurrently with the VPU bias/softmax work),
   3. folds the tile into flash-style online-softmax state carried in VMEM
      scratch across the key-tile grid axis (running max m, running sum l,
      output accumulator O — Dao et al.'s streaming softmax),
@@ -104,12 +104,16 @@ def _site_kernel(
         oacc[...] = jnp.zeros(oacc.shape, jnp.float32)
 
     for h in range(Hpg):
-        kblk = k_ref[0, 0, h].astype(jnp.float32)  # (TN, ch)
-        qblk = q_ref[0, 0, h].astype(jnp.float32)  # (ch, M)
-        # scores: ch outer-product FMAs (TN, 1) x (1, M) on the VPU
-        qk = kblk[:, 0:1] * qblk[0:1, :]
-        for c in range(1, ch):
-            qk += kblk[:, c : c + 1] * qblk[c : c + 1, :]
+        kblk = k_ref[0, 0, h].astype(jnp.bfloat16)  # (TN, ch)
+        qblk = q_ref[0, 0, h].astype(jnp.bfloat16)  # (ch, M)
+        # scores on the MXU: (TN, ch) @ (ch, M) -> f32 (TN, M). The ch=4..8
+        # contraction under-fills the systolic array, but one MXU pass still
+        # beats ch VPU outer-product sweeps of the (TN, M) tile AND frees the
+        # VPU for the bias/softmax work it runs concurrently.
+        qk = jax.lax.dot_general(
+            kblk, qblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         s = sblk[h] + scale * qk  # (TN, M)
 
         # online softmax over the key-tile grid axis
@@ -121,10 +125,16 @@ def _site_kernel(
         lacc[h : h + 1, :] = lacc[h : h + 1, :] * alpha + jnp.sum(
             p, axis=0, keepdims=True
         )
-        vblk = v_ref[0, 0, h].astype(jnp.float32)  # (TN, ch)
-        for c in range(ch):
-            contrib = jnp.sum(p * vblk[:, c : c + 1], axis=0, keepdims=True)
-            oacc[h, c : c + 1, :] = oacc[h, c : c + 1, :] * alpha + contrib
+        # AV on the MXU: (ch, TN) x (TN, M) with the TN=64.. contraction on
+        # the systolic axis — replaces ch VPU sublane reductions of the full
+        # (TN, M) tile (the kernel's former hot spot). p in bf16 matches the
+        # XLA consumer's p.astype(bf16) @ v.
+        vblk = v_ref[0, 0, h].astype(jnp.bfloat16)  # (TN, ch)
+        contrib = jax.lax.dot_general(
+            vblk, p.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ch, M)
+        oacc[h] = oacc[h] * alpha + contrib
 
     @pl.when(t == NT - 1)
     def _():
