@@ -45,7 +45,7 @@ sys.path.insert(0, str(ROOT))
 
 PEAK_BF16_TFLOPS = 197.0  # TPU v5e
 FLOPS_CACHE = ROOT / ".jax_cache" / "flops_cache.json"
-FLOPS_KEY = "flagship_u28_bf16_evalB4T2_trainB2T2_v1"
+FLOPS_KEY = "flagship_u28_bf16_evalB4T2_trainB2T2_v2"  # v2: mm-form K/V sampling
 
 
 def _torch_baseline_fps() -> float:

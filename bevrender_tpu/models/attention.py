@@ -35,7 +35,7 @@ from bevrender_tpu.ops.deform_attn import (
     lattice_shift_class,
     streamed_deform_attention,
 )
-from bevrender_tpu.ops.grid_sample import grid_sample_2d, normalized_grid
+from bevrender_tpu.ops.grid_sample import grid_sample_2d_mm, normalized_grid
 from bevrender_tpu.parallel.annotate import hint
 
 
@@ -164,7 +164,11 @@ class TSADeformableAttention(nn.Module):
 
         # --- K/V gather from (prev) BEV (TSA_deform_attn.py:210-217) ---
         xg = x.reshape(B, H, W, G, Cg).transpose(0, 3, 1, 2, 4).reshape(B * G, H, W, Cg)
-        kv = grid_sample_2d(xg, pos[..., ::-1])  # (x, y) order for sampling
+        # matmul-form bilinear sampling: TPUs have no hardware gather, and the
+        # two dense contractions measure ~10x faster than the gather form at
+        # these K/V shapes (WRAPPER_BENCH.json: 0.41 -> 0.04 ms)
+        kv = grid_sample_2d_mm(xg, pos[..., ::-1])  # (x, y) order for sampling
+        kv = kv.astype(x.dtype)
         kv = kv.reshape(B, G, N, Cg).transpose(0, 2, 1, 3).reshape(B, N, C)
         k = Dense(C, name="proj_k")(kv)
         v = Dense(C, name="proj_v")(kv)
@@ -310,7 +314,8 @@ class SCADeformableAttention(nn.Module):
             Hi, Wi = feat.shape[1], feat.shape[2]
             fg = feat.reshape(B, Hi, Wi, G, Cg).transpose(0, 3, 1, 2, 4)
             fg = fg.reshape(B * G, Hi, Wi, Cg)
-            kv = grid_sample_2d(fg, pos[..., ::-1])
+            # matmul-form sampling (see TSA note; gathers serialize on TPU)
+            kv = grid_sample_2d_mm(fg, pos[..., ::-1]).astype(feat.dtype)
             kv = kv.reshape(B, G, N, Cg).transpose(0, 2, 1, 3).reshape(B, N, C)
             k = proj_k(kv)
             v = proj_v(kv)
