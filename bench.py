@@ -302,6 +302,14 @@ def main():
         except (json.JSONDecodeError, OSError) as e:
             print(f"PYRAMID_BENCH.json unreadable: {e!r}", file=sys.stderr)
 
+    streaming = None
+    stream_path = ROOT / "STREAMING_BENCH.json"
+    if stream_path.exists():
+        try:
+            streaming = json.loads(stream_path.read_text())
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"STREAMING_BENCH.json unreadable: {e!r}", file=sys.stderr)
+
     def result_json(train_ms):
         train_mfu = None
         if train_ms and flops.get("train_flops"):
@@ -333,6 +341,11 @@ def main():
             # scripts/pyramid_bench.py (kept out of this run: its fresh
             # compile is tens of minutes)
             "pyramid": pyramid,
+            # carried-BEV serving loop (one encoder pass per frame),
+            # measured by scripts/streaming_bench.py — the reference
+            # recomputes the full T-frame window per sample and cannot
+            # stream at all
+            "streaming": streaming,
         }
 
     # emit the eval-only line immediately so a hung/failed train compile
