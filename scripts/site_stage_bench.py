@@ -90,7 +90,7 @@ def _ablate_kernel(
             row, H,
         )
 
-    if do_ymix:
+    if do_ymix == "real":
         wy = wy_ref[0, 0]
         if Np == nreal:
             valid = None
@@ -103,6 +103,22 @@ def _ablate_kernel(
                 rowv = jnp.where(valid, rowv, -1e30)
             for h in range(Hpg):
                 sblk[h, :, iy * W : (iy + 1) * W] = rowv[:, h * W : (h + 1) * W]
+    elif do_ymix == "nostores":
+        # the same lerp over the whole (TN, H, WH) block in one op, dumped
+        # full-width into the (already-consumed) win scratch: isolates the
+        # lerp cost from the H*Hpg narrow (TN, W)-slice flatten stores
+        wy = wy_ref[0, 0]
+        if Np == nreal:
+            valid = None
+        else:
+            kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
+            valid = kid < nreal
+        rowv_all = (1.0 - wy[..., None]) * xres[:, :H, :] + wy[
+            ..., None
+        ] * xres[:, 1 : H + 1, :]
+        if valid is not None:
+            rowv_all = jnp.where(valid[..., None], rowv_all, -1e30)
+        win[:, 0, :H, :] = rowv_all.astype(win.dtype)
 
     @pl.when(t == 0)
     def _():
@@ -143,9 +159,13 @@ def _ablate_kernel(
                 out_ref[0, 0, h] = (
                     oacc[h] / jnp.maximum(lacc[h : h + 1, :], 1e-30)
                 ).astype(out_ref.dtype)
-        elif do_ymix:
+        elif do_ymix == "real":
             for h in range(Hpg):
                 out_ref[0, 0, h] = sblk[h, :ch, :].astype(out_ref.dtype)
+        elif do_ymix == "nostores":
+            # reduce the full-width lerp result so stage C' is not dead code
+            red = jnp.sum(win[:, 0, :H, :].astype(jnp.float32))
+            out_ref[0, 0, 0] = jnp.zeros_like(out_ref[0, 0, 0]) + red
         else:
             # reduce xres so the front-end stages are not dead code
             red = jnp.sum(xres[...].astype(jnp.float32))
@@ -246,9 +266,16 @@ VARIANTS = {
     # prefix-consistent stage sets
     "extract": dict(do_extract=True, do_mix=False, do_ymix=False, do_attn=False),
     "extract+mix": dict(do_extract=True, do_mix=True, do_ymix=False, do_attn=False),
-    "extract+mix+ymix": dict(do_extract=True, do_mix=True, do_ymix=True, do_attn=False),
+    "extract+mix+ymix": dict(
+        do_extract=True, do_mix=True, do_ymix="real", do_attn=False
+    ),
+    # stage-C variant: the same y-lerp in one full-width op, without the
+    # H*Hpg narrow (TN, W)-slice flatten stores — isolates lerp vs store cost
+    "extract+mix+ymix_nostores": dict(
+        do_extract=True, do_mix=True, do_ymix="nostores", do_attn=False
+    ),
     "attn_only": dict(do_extract=False, do_mix=False, do_ymix=False, do_attn=True),
-    "full": dict(do_extract=True, do_mix=True, do_ymix=True, do_attn=True),
+    "full": dict(do_extract=True, do_mix=True, do_ymix="real", do_attn=True),
 }
 
 
@@ -335,6 +362,13 @@ def main():
         ),
         "C_ymix_ms": round(
             results["extract+mix+ymix"] - results["extract+mix"], 3
+        ),
+        "C1_ylerp_only_ms": round(
+            results["extract+mix+ymix_nostores"] - results["extract+mix"], 3
+        ),
+        "C2_flatten_stores_ms": round(
+            results["extract+mix+ymix"]
+            - results["extract+mix+ymix_nostores"], 3
         ),
         "D_attn_ms": results["attn_only"],
         "full_ms": results["full"],

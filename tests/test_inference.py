@@ -80,6 +80,35 @@ class TestRegistration:
         # carrying history must change the BEV state
         assert float(jnp.abs(bev1 - bev2).max()) > 1e-6
 
+    def test_streaming_chain_matches_full_window_eval(self, pipeline):
+        """The carried-BEV serving loop reproduces the full window eval: one
+        encode_step per frame with the reference's pose-pair rule (history
+        step i warps with pose[:, i:i+2], bevrender.py:215; the final pass
+        with pose[:, T-2:T], bevrender.py:138-146) must equal __call__'s
+        history-scan-plus-final-pass output — the claim
+        scripts/streaming_bench.py's one-pass-per-frame throughput rests on.
+        Windows carry T = window_num_imgs + 1 frames (dataset.py:111
+        subsamples window_num_imgs history frames and appends the current)."""
+        pipe, ds, batch = pipeline
+        step = pipe.make_streaming_step()
+        tiles = jnp.eye(4, 32 * 32 * 3)
+        vtype = batch["vehicle_type"]
+        images, pose = batch["camera"], batch["vehicle_pose"]
+        T = images.shape[1]
+        assert T == 3  # window_num_imgs=2 history frames + current
+
+        full = pipe.render(batch)
+
+        bev, out = None, None
+        for t in range(T):
+            lo = min(t, T - 2)
+            pose_pair = pose[:, lo:lo + 2]
+            bev, out, _ = step(pipe.variables, images[:, t], bev, pose_pair,
+                               vtype, tiles)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(full), rtol=2e-4, atol=2e-5
+        )
+
 
 class TestMapLoader:
     def test_tiles_and_month_key(self, tmp_path):
