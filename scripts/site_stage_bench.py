@@ -283,6 +283,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--interpret", action="store_true",
                     help="CPU interpret-mode validation only")
+    ap.add_argument("--only", default=None,
+                    help="run a single variant (compile-hang bisection); "
+                         "'production' runs only the production kernels")
     args = ap.parse_args()
 
     if args.interpret:
@@ -325,7 +328,14 @@ def main():
     from bevrender_tpu.utils.timing import device_bench
 
     results = {}
+    prev = {}
+    if (ROOT / "SITE_STAGE_BENCH.json").exists():
+        prev = json.loads(
+            (ROOT / "SITE_STAGE_BENCH.json").read_text()
+        ).get("variants_ms", {})
     for name, flags in VARIANTS.items():
+        if args.only and args.only != name:
+            continue
         fn = functools.partial(
             ablate_call, H=H, W=W, Hpg=Hpg, interpret=False, nreal=N,
             scale=scale, **flags,
@@ -337,23 +347,34 @@ def main():
         results[name] = round(ms, 3)
         print(f"{name}: {ms:.3f} ms", flush=True)
 
-    # production kernels for cross-checking
-    ms_prod = device_bench(
-        lambda t3m_, *rest: fused_site_call(
-            t3m_, *rest, H, W, Hpg, False, N, scale
-        ),
-        t3m, wy4, f4, shift4, packed, gcol, k, v, qcm,
-    )
-    results["production_fused_site"] = round(ms_prod, 3)
-    print(f"production_fused_site: {ms_prod:.3f} ms", flush=True)
-    ms_bias = device_bench(
-        lambda t3m_, *rest: lattice_bias_fused(
-            t3m_, *rest, H, W, Hpg, False, N
-        ),
-        t3m, wy4, f4, shift4, packed, gcol,
-    )
-    results["production_bias_kernel"] = round(ms_bias, 3)
-    print(f"production_bias_kernel: {ms_bias:.3f} ms", flush=True)
+    if args.only is None or args.only == "production":
+        # production kernels for cross-checking
+        ms_prod = device_bench(
+            lambda t3m_, *rest: fused_site_call(
+                t3m_, *rest, H, W, Hpg, False, N, scale
+            ),
+            t3m, wy4, f4, shift4, packed, gcol, k, v, qcm,
+        )
+        results["production_fused_site"] = round(ms_prod, 3)
+        print(f"production_fused_site: {ms_prod:.3f} ms", flush=True)
+        ms_bias = device_bench(
+            lambda t3m_, *rest: lattice_bias_fused(
+                t3m_, *rest, H, W, Hpg, False, N
+            ),
+            t3m, wy4, f4, shift4, packed, gcol,
+        )
+        results["production_bias_kernel"] = round(ms_bias, 3)
+        print(f"production_bias_kernel: {ms_bias:.3f} ms", flush=True)
+
+    if args.only:
+        # merge partial results into the artifact and exit (per-variant runs
+        # bisect compile hangs in the remote helper)
+        merged = {**prev, **results}
+        (ROOT / "SITE_STAGE_BENCH.json").write_text(
+            json.dumps({"variants_ms": merged, "partial": True}, indent=1)
+        )
+        print(json.dumps(results), flush=True)
+        return
 
     attributed = {
         "A_extract_ms": results["extract"],
