@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bevrender_tpu.ops.pallas.lattice_bias import _fill_xres, _h1al
+from bevrender_tpu.ops.pallas.lattice_bias import _fill_xres, _h1al, _mix_resolve
 
 
 def _site_kernel(
@@ -142,6 +142,221 @@ def _site_kernel(
             out_ref[0, 0, h] = (
                 oacc[h] / jnp.maximum(lacc[h : h + 1, :], 1e-30)
             ).astype(out_ref.dtype)
+
+
+def _site_kernel_dma(
+    packed_ref,   # SMEM (8, TN) int32 block for the CURRENT cell row
+    packednx_ref, # SMEM (8, TN) int32: the NEXT block (row wrap prefetch)
+    t3_ref, wy_ref, f_ref, shift_ref, gcol_ref, k_ref, v_ref, q_ref,
+    out_ref,
+    win2,         # scratch (2, TN, 3, H1AL, WH) double-buffered windows
+    xin, xres, sblk, macc, lacc, oacc,
+    sem,          # DMA semaphore
+    *,
+    H: int, W: int, Hpg: int, ch: int, TN: int, Np: int,
+    nreal: int, scale: float,
+):
+    """The fused site kernel with DMA-prefetched window extraction.
+
+    The plain kernel's hot front-end is a TN-iteration loop of dynamic-start
+    VMEM window copies (stage A of SITE_STAGE_BENCH). Here tile t+1's windows
+    are issued as async DMAs *before* tile t's compute, so the copies drain on
+    the DMA engines while the VPU/MXU work — per-tile extract cost shrinks to
+    the issue overhead plus an end-of-tile wait. Tile 0 of each (b, g) cell
+    extracts synchronously (its windows cannot be prefetched across the t3
+    block switch: the table block changes with the cell's g).
+    """
+    NT = Np // TN
+    t = pl.program_id(1)
+    cell = pl.program_id(0) * NT + t
+    row = cell % 8
+    cur = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+    H1AL = _h1al(H)
+
+    def issue(i, c, buf, rowsel, from_next):
+        # both `where` branches execute: clamp rowsel (row+1 == 8 when the
+        # next cell wraps into the next block and from_next selects instead)
+        packed = jnp.where(
+            from_next, packednx_ref[0, i],
+            packed_ref[jnp.minimum(rowsel, 7), i],
+        )
+        ys = packed >> 16
+        ms = packed & 0xFFFF
+        ys8 = pl.multiple_of((ys // 8) * 8, 8)
+        pltpu.make_async_copy(
+            t3_ref.at[0, pl.ds(ms, 3), pl.ds(ys8, H1AL), :],
+            win2.at[buf, i],
+            sem,
+        ).start()
+        return c
+
+    # tile 0: synchronous extract (issue + immediate wait)
+    @pl.when(t == 0)
+    def _():
+        jax.lax.fori_loop(
+            0, TN,
+            lambda i, c: issue(i, c, cur, row, jnp.asarray(False)), 0
+        )
+        def wait0(i, c):
+            pltpu.make_async_copy(
+                t3_ref.at[0, pl.ds(0, 3), pl.ds(0, H1AL), :],
+                win2.at[cur, i], sem,
+            ).wait()
+            return c
+        jax.lax.fori_loop(0, TN, wait0, 0)
+
+    # t > 0: the prefetch issued at t-1 targeted win2[cur]; drain it
+    @pl.when(t > 0)
+    def _():
+        def waitp(i, c):
+            pltpu.make_async_copy(
+                t3_ref.at[0, pl.ds(0, 3), pl.ds(0, H1AL), :],
+                win2.at[cur, i], sem,
+            ).wait()
+            return c
+        jax.lax.fori_loop(0, TN, waitp, 0)
+
+    # prefetch tile t+1 into the other buffer (same cell only: the t3 block
+    # switches with bg, so cross-cell windows would read the wrong table)
+    @pl.when(t < NT - 1)
+    def _():
+        jax.lax.fori_loop(
+            0, TN,
+            lambda i, c: issue(i, c, nxt, row + 1, row == 7), 0
+        )
+
+    # ---- compute on win2[cur] (identical to _site_kernel from here) ----
+    win = win2.at[cur]
+    _mix_resolve(f_ref, shift_ref, gcol_ref, win, xin, xres, H)
+
+    wy = wy_ref[0, 0]
+    if Np == nreal:
+        valid = None
+    else:
+        kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
+        valid = kid < nreal
+    for iy in range(H):
+        rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
+        if valid is not None:
+            rowv = jnp.where(valid, rowv, -1e30)
+        for h in range(Hpg):
+            sblk[h, :, iy * W : (iy + 1) * W] = rowv[:, h * W : (h + 1) * W]
+
+    @pl.when(t == 0)
+    def _():
+        macc[...] = jnp.full(macc.shape, -1e30, jnp.float32)
+        lacc[...] = jnp.zeros(lacc.shape, jnp.float32)
+        oacc[...] = jnp.zeros(oacc.shape, jnp.float32)
+
+    for h in range(Hpg):
+        kblk = k_ref[0, 0, h].astype(jnp.bfloat16)
+        qblk = q_ref[0, 0, h].astype(jnp.bfloat16)
+        qk = jax.lax.dot_general(
+            kblk, qblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = sblk[h] + scale * qk
+        mold = macc[h : h + 1, :]
+        mnew = jnp.maximum(mold, jnp.max(s, axis=0, keepdims=True))
+        p = jnp.exp(s - mnew)
+        alpha = jnp.exp(mold - mnew)
+        macc[h : h + 1, :] = mnew
+        lacc[h : h + 1, :] = lacc[h : h + 1, :] * alpha + jnp.sum(
+            p, axis=0, keepdims=True
+        )
+        vblk = v_ref[0, 0, h].astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            vblk, p.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        oacc[h] = oacc[h] * alpha + contrib
+
+    @pl.when(t == NT - 1)
+    def _():
+        for h in range(Hpg):
+            out_ref[0, 0, h] = (
+                oacc[h] / jnp.maximum(lacc[h : h + 1, :], 1e-30)
+            ).astype(out_ref.dtype)
+
+
+def fused_site_call_dma(
+    t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
+    nreal, scale,
+):
+    """``fused_site_call`` with DMA-prefetched window extraction."""
+    G, m_max, Ypad, WH = t3m.shape
+    B, _, Np, _ = wy.shape
+    M = H * W
+    ch = k.shape[-1]
+    from bevrender_tpu.ops.pallas.lattice_bias import _tile_size
+
+    TN = _tile_size(Np)
+    H1AL = _h1al(H)
+    NT = Np // TN
+    n_cells = B * G * NT
+    r8 = -(-n_cells // 8) * 8
+    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    nblk = r8 // 8
+    return pl.pallas_call(
+        functools.partial(
+            _site_kernel_dma, H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
+            nreal=nreal, scale=float(scale),
+        ),
+        grid=(B * G, NT),
+        in_specs=[
+            pl.BlockSpec((8, TN), lambda bg, t: ((bg * NT + t) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            # the FOLLOWING packed block: tile t+1's row when the current
+            # row is 7 (cell+1 crosses into the next 8-row block)
+            pl.BlockSpec(
+                (8, TN),
+                lambda bg, t: (
+                    jnp.minimum((bg * NT + t) // 8 + 1, nblk - 1), 0
+                ),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, m_max, Ypad, WH), lambda bg, t: (bg % G, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WH), lambda bg, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, ch, M),
+                         lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Hpg, ch, M),
+            lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TN, 3, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+            pltpu.VMEM((Hpg, TN, M), jnp.float32),
+            pltpu.VMEM((Hpg, M), jnp.float32),
+            pltpu.VMEM((Hpg, M), jnp.float32),
+            pltpu.VMEM((Hpg, ch, M), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(packed2, packed2, t3m, wy, f, shift, gcol, k, v, qcm)
 
 
 def fused_site_call(

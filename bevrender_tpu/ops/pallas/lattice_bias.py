@@ -70,7 +70,13 @@ def _fill_xres(
         return c
 
     jax.lax.fori_loop(0, TN, extract, 0)
+    return _mix_resolve(f_ref, shift_ref, gcol_ref, win, xin, xres, H)
 
+
+def _mix_resolve(f_ref, shift_ref, gcol_ref, win, xin, xres, H):
+    """x-mix + shift resolve on an already-extracted ``win`` (the DMA-prefetch
+    site kernel fills ``win`` asynchronously; the plain path extracts inline).
+    """
     # x-mix: phi = g[lane] + f[key]; c = floor(phi) in {0,1}; wx = frac(phi)
     # computed in f32, stored in the scratch dtype (bf16 in production —
     # halves the VMEM vector traffic of the mix/resolve stages and matches
