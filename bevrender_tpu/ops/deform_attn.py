@@ -391,6 +391,7 @@ def _fused_site_impl(q, k, v, k_pos, rpe_table, H, W, scale, interpret):
     from bevrender_tpu.ops.pallas.fused_attn import (
         fused_site_call,
         fused_site_call_dma,
+        fused_site_call_v2,
     )
 
     B, G, Hpg, M, ch = q.shape
@@ -405,13 +406,13 @@ def _fused_site_impl(q, k, v, k_pos, rpe_table, H, W, scale, interpret):
         kp = jnp.pad(k, ((0, 0),) * 3 + ((0, padn), (0, 0)))
         vp = jnp.pad(v, ((0, 0),) * 3 + ((0, padn), (0, 0)))
     qcm = jnp.swapaxes(q, -1, -2)  # (B, G, Hpg, ch, M): queries on lanes
-    # BEVRENDER_SITE_DMA=1 selects the DMA-prefetched extraction variant
-    # (interpret-mode-identical math; see ops/pallas/fused_attn.py)
-    call = (
-        fused_site_call_dma
-        if os.environ.get("BEVRENDER_SITE_DMA") == "1"
-        else fused_site_call
-    )
+    # BEVRENDER_SITE_DMA selects experimental site-kernel variants
+    # (interpret-mode-identical math; see ops/pallas/fused_attn.py):
+    # 1 = DMA-prefetched extraction, 2 = DMA + head-folded 128-pad layout
+    call = {
+        "1": fused_site_call_dma,
+        "2": fused_site_call_v2,
+    }.get(os.environ.get("BEVRENDER_SITE_DMA", ""), fused_site_call)
     out_cm = call(
         t3m, wy4, f4, shift4, packed, gcol, kp, vp, qcm,
         H, W, Hpg, interpret, N, scale,

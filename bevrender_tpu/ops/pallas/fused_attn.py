@@ -359,6 +359,243 @@ def fused_site_call_dma(
     )(packed2, packed2, t3m, wy, f, shift, gcol, k, v, qcm)
 
 
+def _site_kernel_v2(
+    packed_ref, packednx_ref, t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
+    kb_ref,       # VMEM (1, 1, TN, HC) keys, heads folded on lanes
+    vb_ref,       # VMEM (1, 1, TN, HC)
+    qb_ref,       # VMEM (1, 1, HC, Mbig) block-diagonal padded queries
+    out_ref,      # VMEM (1, 1, Hpg, ch, M) f32
+    win2, xin, xres,
+    sblk,         # scratch (TN, Mbig) f32 — head-folded scores
+    macc,         # scratch (1, Mbig) f32
+    lacc,         # scratch (1, Mbig) f32
+    oacc,         # scratch (HC, Mbig) f32
+    sem,
+    *,
+    H: int, W: int, Hpg: int, ch: int, TN: int, Np: int,
+    nreal: int, scale: float,
+):
+    """DMA-prefetch + head-folded layout variant.
+
+    Differences from ``_site_kernel_dma``:
+      * scores live in ONE (TN, H*128) tile with column iy*128 + h*W + x —
+        y-mix stores are 128-aligned (28 stores/tile instead of 56 narrow
+        ones), and the pad columns carry -1e30 bias so the streaming softmax
+        keeps them inert;
+      * QK and AV each run as ONE MXU dot over the folded Hpg*ch contraction
+        (the block-diagonal host-built ``qb`` zeroes cross-head terms), so
+        the per-head Python loop disappears from the hot path;
+      * the narrow per-head writeout happens once per cell (t == NT-1), not
+        per tile.
+    """
+    NT = Np // TN
+    t = pl.program_id(1)
+    cell = pl.program_id(0) * NT + t
+    row = cell % 8
+    cur = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+    H1AL = _h1al(H)
+    HC = Hpg * ch
+    WH = Hpg * W
+
+    def issue(i, c, buf, rowsel, from_next):
+        packed = jnp.where(
+            from_next, packednx_ref[0, i],
+            packed_ref[jnp.minimum(rowsel, 7), i],
+        )
+        ys = packed >> 16
+        ms = packed & 0xFFFF
+        ys8 = pl.multiple_of((ys // 8) * 8, 8)
+        pltpu.make_async_copy(
+            t3_ref.at[0, pl.ds(ms, 3), pl.ds(ys8, H1AL), :],
+            win2.at[buf, i], sem,
+        ).start()
+        return c
+
+    def wait_all():
+        def waitp(i, c):
+            pltpu.make_async_copy(
+                t3_ref.at[0, pl.ds(0, 3), pl.ds(0, H1AL), :],
+                win2.at[cur, i], sem,
+            ).wait()
+            return c
+        jax.lax.fori_loop(0, TN, waitp, 0)
+
+    @pl.when(t == 0)
+    def _():
+        jax.lax.fori_loop(
+            0, TN, lambda i, c: issue(i, c, cur, row, jnp.asarray(False)), 0
+        )
+        wait_all()
+
+    @pl.when(t > 0)
+    def _():
+        wait_all()
+
+    @pl.when(t < NT - 1)
+    def _():
+        jax.lax.fori_loop(
+            0, TN, lambda i, c: issue(i, c, nxt, row + 1, row == 7), 0
+        )
+
+    win = win2.at[cur]
+    _mix_resolve(f_ref, shift_ref, gcol_ref, win, xin, xres, H)
+
+    @pl.when(t == 0)
+    def _():
+        # pad columns keep -1e30 forever: qk there is 0 (qb zero blocks), so
+        # the streaming softmax carries exp(0)=1 garbage that the diagonal
+        # writeout never reads
+        sblk[...] = jnp.full(sblk.shape, -1e30, jnp.float32)
+        macc[...] = jnp.full(macc.shape, -1e30, jnp.float32)
+        lacc[...] = jnp.zeros(lacc.shape, jnp.float32)
+        oacc[...] = jnp.zeros(oacc.shape, jnp.float32)
+
+    # y-mix into the head-folded layout: per query row iy, one store per head
+    # at a 128-aligned column start
+    wy = wy_ref[0, 0]
+    if Np == nreal:
+        valid = None
+    else:
+        kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
+        valid = kid < nreal
+    for iy in range(H):
+        rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
+        if valid is not None:
+            rowv = jnp.where(valid, rowv, -1e30)
+        sblk[:, iy * 128 : iy * 128 + WH] = rowv
+
+    kblk = kb_ref[0, 0].astype(jnp.bfloat16)   # (TN, HC)
+    qblk = qb_ref[0, 0].astype(jnp.bfloat16)   # (HC, Mbig)
+    qk = jax.lax.dot_general(
+        kblk, qblk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = sblk[...] + scale * qk                  # (TN, Mbig)
+    mold = macc[...]
+    mnew = jnp.maximum(mold, jnp.max(s, axis=0, keepdims=True))
+    p = jnp.exp(s - mnew)
+    alpha = jnp.exp(mold - mnew)
+    macc[...] = mnew
+    lacc[...] = lacc[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    vblk = vb_ref[0, 0].astype(jnp.bfloat16)    # (TN, HC)
+    contrib = jax.lax.dot_general(
+        vblk, p.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                           # (HC, Mbig)
+    oacc[...] = oacc[...] * alpha + contrib
+
+    @pl.when(t == NT - 1)
+    def _():
+        for h in range(Hpg):
+            for iy in range(H):
+                col = iy * 128 + h * W
+                out_ref[0, 0, h, :, iy * W : (iy + 1) * W] = (
+                    oacc[h * ch : (h + 1) * ch, col : col + W]
+                    / jnp.maximum(lacc[:, col : col + W], 1e-30)
+                ).astype(out_ref.dtype)
+
+
+def fused_site_call_v2(
+    t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
+    nreal, scale,
+):
+    """``fused_site_call`` with DMA prefetch + head-folded 128-pad layout."""
+    G, m_max, Ypad, WH = t3m.shape
+    B, _, Np, _ = wy.shape
+    M = H * W
+    ch = k.shape[-1]
+    HC = Hpg * ch
+    Mbig = H * 128
+    if WH > 128:
+        # the folded layout packs one query row's Hpg*W lanes into a single
+        # 128-lane block; wider sites use the per-head kernel
+        return fused_site_call_dma(
+            t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg,
+            interpret, nreal, scale,
+        )
+    from bevrender_tpu.ops.pallas.lattice_bias import _tile_size
+
+    TN = _tile_size(Np)
+    H1AL = _h1al(H)
+    NT = Np // TN
+    n_cells = B * G * NT
+    r8 = -(-n_cells // 8) * 8
+    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    nblk = r8 // 8
+
+    # heads folded on lanes: (B, G, Hpg, Np, ch) -> (B, G, Np, Hpg*ch)
+    kb = jnp.transpose(k, (0, 1, 3, 2, 4)).reshape(B, G, Np, HC)
+    vb = jnp.transpose(v, (0, 1, 3, 2, 4)).reshape(B, G, Np, HC)
+    # block-diagonal padded queries: qb[., h*ch+c, iy*128 + h*W + x] =
+    # qcm[., h, c, iy*W + x]; cross-head and pad columns are zero
+    q5 = qcm.reshape(B, G, Hpg, ch, H, W)
+    qb = jnp.zeros((B, G, HC, H, 128), qcm.dtype)
+    for h in range(Hpg):
+        qb = jax.lax.dynamic_update_slice(
+            qb, q5[:, :, h], (0, 0, h * ch, 0, h * W)
+        )
+    qb = qb.reshape(B, G, HC, Mbig)
+
+    return pl.pallas_call(
+        functools.partial(
+            _site_kernel_v2, H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
+            nreal=nreal, scale=float(scale),
+        ),
+        grid=(B * G, NT),
+        in_specs=[
+            pl.BlockSpec((8, TN), lambda bg, t: ((bg * NT + t) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (8, TN),
+                lambda bg, t: (
+                    jnp.minimum((bg * NT + t) // 8 + 1, nblk - 1), 0
+                ),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, m_max, Ypad, WH), lambda bg, t: (bg % G, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WH), lambda bg, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, HC),
+                         lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, HC),
+                         lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HC, Mbig),
+                         lambda bg, t: (bg // G, bg % G, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Hpg, ch, M),
+            lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TN, 3, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+            pltpu.VMEM((TN, Mbig), jnp.float32),
+            pltpu.VMEM((1, Mbig), jnp.float32),
+            pltpu.VMEM((1, Mbig), jnp.float32),
+            pltpu.VMEM((HC, Mbig), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(packed2, packed2, t3m, wy, f, shift, gcol, kb, vb, qb)
+
+
 def fused_site_call(
     t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
     nreal, scale,

@@ -30,6 +30,7 @@ from bevrender_tpu.ops.deform_attn import _kernel_inputs
 from bevrender_tpu.ops.pallas.fused_attn import (
     fused_site_call,
     fused_site_call_dma,
+    fused_site_call_v2,
 )
 
 
@@ -65,8 +66,15 @@ def main():
     )(t3m, wy4, f4, shift4, packed, gcol, k, v, qcm)
     err = float(jnp.max(jnp.abs(a - b)))
     out["onchip_parity_max_err"] = err
-    print(f"on-chip parity: {err}", flush=True)
+    print(f"on-chip parity dma: {err}", flush=True)
     assert err < 1e-5, err
+    c = jax.jit(
+        lambda *x: fused_site_call_v2(*x, 8, 8, 2, False, 100, scale)
+    )(t3m, wy4, f4, shift4, packed, gcol, k, v, qcm)
+    err2 = float(jnp.max(jnp.abs(a - c)))
+    out["onchip_parity_v2_max_err"] = err2
+    print(f"on-chip parity v2: {err2}", flush=True)
+    assert err2 < 1e-4, err2
 
     # --- flagship stage shapes (C=64: g8 ch=4, g4 ch=8; SCA N=1568) ---
     for name, (B, G, Hpg, H, W, N, ch) in {
@@ -89,13 +97,21 @@ def main():
             ),
             t3m, wy4, f4, shift4, packed, gcol, k, v, qcm,
         )
+        ms_v2 = device_bench(
+            lambda t3m_, *rest: fused_site_call_v2(
+                t3m_, *rest, H, W, Hpg, False, N, scale
+            ),
+            t3m, wy4, f4, shift4, packed, gcol, k, v, qcm,
+        )
         out[name] = {
             "plain_ms": round(ms_plain, 3),
             "dma_ms": round(ms_dma, 3),
-            "speedup": round(ms_plain / ms_dma, 3),
+            "v2_ms": round(ms_v2, 3),
+            "speedup_dma": round(ms_plain / ms_dma, 3),
+            "speedup_v2": round(ms_plain / ms_v2, 3),
         }
-        print(f"{name}: plain {ms_plain:.3f} ms, dma {ms_dma:.3f} ms",
-              flush=True)
+        print(f"{name}: plain {ms_plain:.3f} dma {ms_dma:.3f} "
+              f"v2 {ms_v2:.3f} ms", flush=True)
 
     (ROOT / "SITE_DMA_BENCH.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out), flush=True)
