@@ -136,6 +136,20 @@ def main():
             ), k_pos
         ), 3)
 
+        # key shift-class sort (argsort per view per layer; sorts are slow on
+        # TPU — if this shows up, a counting-rank + one-hot-matmul inverse
+        # permutation replaces it)
+        from bevrender_tpu.models.attention import _sort_keys_by_shift
+
+        pos_bgn = pos.reshape(B, G, H2, HW * d, 2)
+        res["shift_sort_ms"] = round(device_bench(
+            lambda p: _sort_keys_by_shift(
+                p, B, G, N_sca,
+                (G, Hpg, 2 * HW - 1, 2 * HW * d - 1), HW, HW,
+            ),
+            pos_bgn,
+        ), 3)
+
         # fused site at exact (G, Hpg, ch, N, M) eval shapes
         qh = jax.random.normal(rng, (B, G, Hpg, HW * HW, ch), dt)
         kh = jax.random.normal(rng, (B, G, Hpg, N_sca, ch), dt)
@@ -150,7 +164,8 @@ def main():
         # fused_site_ms already contains the lattice staging (it calls
         # _kernel_inputs internally), so don't subtract staging twice
         glue = res["sca_total_ms"] - V * (
-            res["kv_gather_mm_ms"] + res["fused_site_ms"] + res["proj_kv_ms"]
+            res["kv_gather_mm_ms"] + res["fused_site_ms"]
+            + res["proj_kv_ms"] + res["shift_sort_ms"]
         )
         res["sca_unattributed_ms"] = round(glue, 3)
         out[key] = res
