@@ -334,3 +334,35 @@ class TestFusedLatticeBias:
             np.testing.assert_allclose(
                 np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-6
             )
+
+    def test_v2_wide_site_falls_back_and_matches(self):
+        """Sites whose folded lane count Hpg*W exceeds 128 (pyramid stages)
+        take fused_site_call_v2's fallback to the per-head DMA kernel and
+        still match the inline kernel."""
+        from bevrender_tpu.ops.deform_attn import _kernel_inputs
+        from bevrender_tpu.ops.pallas.fused_attn import (
+            fused_site_call,
+            fused_site_call_v2,
+        )
+
+        rng = np.random.default_rng(9)
+        B, G, Hpg, H, W, N, ch = 1, 1, 4, 8, 40, 80, 4  # WH = 160 > 128
+        table = jnp.asarray(
+            rng.standard_normal((G, Hpg, 2 * H - 1, 2 * W * 4 - 1)),
+            jnp.float32,
+        )
+        k_pos = jnp.asarray(
+            rng.uniform(-0.95, 0.95, (B, G, N, 2)), jnp.float32
+        )
+        t3m, wy4, f4, shift4, packed, gcol, Np = _kernel_inputs(
+            table, k_pos, H, W
+        )
+        k = jnp.asarray(rng.standard_normal((B, G, Hpg, Np, ch)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, G, Hpg, Np, ch)), jnp.bfloat16)
+        qcm = jnp.asarray(
+            rng.standard_normal((B, G, Hpg, ch, H * W)), jnp.bfloat16
+        )
+        args = (t3m, wy4, f4, shift4, packed, gcol, k, v, qcm)
+        ref = fused_site_call(*args, H, W, Hpg, True, N, ch ** -0.5)
+        got = fused_site_call_v2(*args, H, W, Hpg, True, N, ch ** -0.5)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
