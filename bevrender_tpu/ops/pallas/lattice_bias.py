@@ -152,6 +152,87 @@ def _fwd_kernel(
             ]
 
 
+def _fwd_kernel_dma(
+    packed_ref,   # SMEM (8, TN) int32 block for the CURRENT cell row
+    packednx_ref, # SMEM (8, TN) int32: the NEXT block (row-wrap prefetch)
+    t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
+    out_ref,
+    win2,         # scratch (2, TN, 3, H1AL, WH) double-buffered windows
+    xin, xres,
+    sem,          # DMA semaphore
+    *,
+    H: int, W: int, Hpg: int, TN: int, Np: int, nreal: int,
+):
+    """``_fwd_kernel`` with DMA-prefetched window extraction (same scheme as
+    ops/pallas/fused_attn._site_kernel_dma: tile t+1's windows drain on the
+    DMA engines while tile t's mix/y-mix runs on the VPU)."""
+    NT = Np // TN
+    t = pl.program_id(1)
+    cell = pl.program_id(0) * NT + t
+    row = cell % 8
+    cur = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+    H1AL = _h1al(H)
+
+    def issue(i, c, buf, rowsel, from_next):
+        packed = jnp.where(
+            from_next, packednx_ref[0, i],
+            packed_ref[jnp.minimum(rowsel, 7), i],
+        )
+        ys = packed >> 16
+        ms = packed & 0xFFFF
+        ys8 = pl.multiple_of((ys // 8) * 8, 8)
+        pltpu.make_async_copy(
+            t3_ref.at[0, pl.ds(ms, 3), pl.ds(ys8, H1AL), :],
+            win2.at[buf, i], sem,
+        ).start()
+        return c
+
+    def wait_all():
+        def waitp(i, c):
+            pltpu.make_async_copy(
+                t3_ref.at[0, pl.ds(0, 3), pl.ds(0, H1AL), :],
+                win2.at[cur, i], sem,
+            ).wait()
+            return c
+        jax.lax.fori_loop(0, TN, waitp, 0)
+
+    @pl.when(t == 0)
+    def _():
+        jax.lax.fori_loop(
+            0, TN, lambda i, c: issue(i, c, cur, row, jnp.asarray(False)), 0
+        )
+        wait_all()
+
+    @pl.when(t > 0)
+    def _():
+        wait_all()
+
+    @pl.when(t < NT - 1)
+    def _():
+        jax.lax.fori_loop(
+            0, TN, lambda i, c: issue(i, c, nxt, row + 1, row == 7), 0
+        )
+
+    _mix_resolve(f_ref, shift_ref, gcol_ref, win2.at[cur], xin, xres, H)
+
+    wy = wy_ref[0, 0]
+    if Np == nreal:
+        valid = None
+    else:
+        kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
+        valid = kid < nreal
+    for iy in range(H):
+        rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
+        if valid is not None:
+            rowv = jnp.where(valid, rowv, -1e30)
+        rowv = rowv.astype(out_ref.dtype)
+        for h in range(Hpg):
+            out_ref[0, 0, h, :, iy * W : (iy + 1) * W] = rowv[
+                :, h * W : (h + 1) * W
+            ]
+
+
 def _bwd_kernel(
     packed_ref,
     t3_ref,
@@ -293,7 +374,9 @@ def _tile_size(Np: int) -> int:
 
 
 def _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret,
-              nreal=None):
+              nreal=None, dma=None):
+    import os
+
     G, m_max, Ypad, WH = t3m.shape
     B, _, Np, _ = wy.shape
     if nreal is None:
@@ -305,6 +388,58 @@ def _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret,
     n_cells = B * G * NT
     r8 = -(-n_cells // 8) * 8
     packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    if dma is None:
+        # BEVRENDER_BIAS_DMA=1 selects the DMA-prefetched extraction variant
+        # (the training path runs this kernel; A/B via scripts/site_dma_bench)
+        dma = os.environ.get("BEVRENDER_BIAS_DMA") == "1"
+    if dma:
+        nblk = r8 // 8
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_dma, H=H, W=W, Hpg=Hpg, TN=TN,
+                              Np=Np, nreal=nreal),
+            grid=(B * G, NT),
+            in_specs=[
+                pl.BlockSpec((8, TN), lambda bg, t: ((bg * NT + t) // 8, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (8, TN),
+                    lambda bg, t: (
+                        jnp.minimum((bg * NT + t) // 8 + 1, nblk - 1), 0
+                    ),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1, m_max, Ypad, WH),
+                             lambda bg, t: (bg % G, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TN, 1),
+                             lambda bg, t: (bg // G, bg % G, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TN, 1),
+                             lambda bg, t: (bg // G, bg % G, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TN, 1),
+                             lambda bg, t: (bg // G, bg % G, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, WH), lambda bg, t: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, Hpg, TN, M),
+                lambda bg, t: (bg // G, bg % G, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, TN, 3, H1AL, WH), t3m.dtype),
+                pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
+                pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            out_shape=jax.ShapeDtypeStruct((B, G, Hpg, Np, M), t3m.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(packed2, packed2, t3m, wy, f, shift, gcol)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, H=H, W=W, Hpg=Hpg, TN=TN, Np=Np,
                           nreal=nreal),

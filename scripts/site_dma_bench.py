@@ -103,15 +103,32 @@ def main():
             ),
             t3m, wy4, f4, shift4, packed, gcol, k, v, qcm,
         )
+        from bevrender_tpu.ops.pallas.lattice_bias import _fwd_call
+
+        ms_bias = device_bench(
+            lambda t3m_, *rest: _fwd_call(
+                t3m_, *rest, H, W, Hpg, False, N, dma=False
+            ),
+            t3m, wy4, f4, shift4, packed, gcol,
+        )
+        ms_bias_dma = device_bench(
+            lambda t3m_, *rest: _fwd_call(
+                t3m_, *rest, H, W, Hpg, False, N, dma=True
+            ),
+            t3m, wy4, f4, shift4, packed, gcol,
+        )
         out[name] = {
             "plain_ms": round(ms_plain, 3),
             "dma_ms": round(ms_dma, 3),
             "v2_ms": round(ms_v2, 3),
             "speedup_dma": round(ms_plain / ms_dma, 3),
             "speedup_v2": round(ms_plain / ms_v2, 3),
+            "bias_plain_ms": round(ms_bias, 3),
+            "bias_dma_ms": round(ms_bias_dma, 3),
         }
         print(f"{name}: plain {ms_plain:.3f} dma {ms_dma:.3f} "
-              f"v2 {ms_v2:.3f} ms", flush=True)
+              f"v2 {ms_v2:.3f} | bias {ms_bias:.3f} -> {ms_bias_dma:.3f} ms",
+              flush=True)
 
     (ROOT / "SITE_DMA_BENCH.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out), flush=True)

@@ -366,3 +366,27 @@ class TestFusedLatticeBias:
         ref = fused_site_call(*args, H, W, Hpg, True, N, ch ** -0.5)
         got = fused_site_call_v2(*args, H, W, Hpg, True, N, ch ** -0.5)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_bias_fwd_dma_variant_matches(self):
+        """The DMA-prefetched bias forward (_fwd_kernel_dma, the training
+        path's kernel behind BEVRENDER_BIAS_DMA=1) is bit-identical to the
+        inline-extract forward."""
+        from bevrender_tpu.ops.deform_attn import _kernel_inputs
+        from bevrender_tpu.ops.pallas.lattice_bias import _fwd_call
+
+        rng = np.random.default_rng(11)
+        for B, G, Hpg, H, W, N in ((1, 2, 2, 8, 8, 100), (2, 3, 1, 8, 8, 200)):
+            table = jnp.asarray(
+                rng.standard_normal((G, Hpg, 2 * H - 1, 2 * W * 4 - 1)),
+                jnp.float32,
+            )
+            k_pos = jnp.asarray(
+                rng.uniform(-0.95, 0.95, (B, G, N, 2)), jnp.float32
+            )
+            t3m, wy4, f4, shift4, packed, gcol, Np = _kernel_inputs(
+                table, k_pos, H, W
+            )
+            args = (t3m, wy4, f4, shift4, packed, gcol, H, W, Hpg, True, N)
+            ref = _fwd_call(*args, dma=False)
+            got = _fwd_call(*args, dma=True)
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
