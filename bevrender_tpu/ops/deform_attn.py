@@ -408,7 +408,10 @@ def _fused_site_impl(q, k, v, k_pos, rpe_table, H, W, scale, interpret):
     qcm = jnp.swapaxes(q, -1, -2)  # (B, G, Hpg, ch, M): queries on lanes
     # BEVRENDER_SITE_DMA selects experimental site-kernel variants
     # (interpret-mode-identical math; see ops/pallas/fused_attn.py):
-    # 1 = DMA-prefetched extraction, 2 = DMA + head-folded 128-pad layout
+    # 1 = DMA-prefetched extraction, 2 = DMA + head-folded 128-pad layout.
+    # Read at TRACE time: set it before the first jit of a model (it is not
+    # part of jit cache keys, so flipping mid-process does not retrace) —
+    # an A/B knob for bench.py, not a per-call switch.
     call = {
         "1": fused_site_call_dma,
         "2": fused_site_call_v2,
