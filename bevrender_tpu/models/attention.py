@@ -39,6 +39,23 @@ from bevrender_tpu.ops.grid_sample import grid_sample_2d_mm, normalized_grid
 from bevrender_tpu.parallel.annotate import hint
 
 
+def _counting_rank8(cls: jax.Array) -> jax.Array:
+    """Stable sorted position of each element for 8-valued int keys.
+
+    ``rank[i] = (# keys with class < cls_i) + (# j <= i with cls_j == cls_i)
+    - 1`` — the stable counting-sort rank, built from a one-hot cumsum
+    instead of a sort network (XLA's TPU sort is an O(N log^2 N) bitonic
+    network; this is O(8N) vector work).
+    """
+    onehot = (cls[..., None] == jnp.arange(8, dtype=cls.dtype)).astype(
+        jnp.int32
+    )  # (..., N, 8)
+    within = jnp.cumsum(onehot, axis=-2)  # inclusive per-class prefix counts
+    totals = within[..., -1:, :]  # (..., 1, 8)
+    offsets = jnp.cumsum(totals, axis=-1) - totals  # exclusive class starts
+    return jnp.sum(onehot * (within + offsets), axis=-1) - 1
+
+
 def _sort_keys_by_shift(pos, B, G, N, table_shape, H, W):
     """Reorder sampled-key positions by their lattice shift class (0..7).
 
@@ -48,9 +65,22 @@ def _sort_keys_by_shift(pos, B, G, N, table_shape, H, W):
     ~1 executed branch instead of 8. K/V are gathered *after* this reorder so
     they stay aligned with the positions; gradients flow back through the
     take_along_axis scatter.
+
+    BEVRENDER_SHIFT_SORT=count swaps the argsort for a counting-rank scatter
+    (same stable order; read at trace time — an A/B knob for benching).
     """
+    import os
+
     flat = pos.reshape(B, G, N, 2)
     cls = lattice_shift_class(table_shape, flat, H, W)
+    if os.environ.get("BEVRENDER_SHIFT_SORT") == "count":
+        rank = _counting_rank8(cls)
+        flat = jnp.put_along_axis(
+            jnp.empty_like(flat),
+            jnp.broadcast_to(rank[..., None], flat.shape),
+            flat, axis=2, inplace=False,
+        )
+        return flat.reshape(B * G, N, 2)
     order = jnp.argsort(cls, axis=-1, stable=True)
     flat = jnp.take_along_axis(flat, order[..., None], axis=2)
     return flat.reshape(B * G, N, 2)

@@ -149,6 +149,20 @@ def main():
             ),
             pos_bgn,
         ), 3)
+        # counting-rank alternative (BEVRENDER_SHIFT_SORT=count)
+        import os as _os
+
+        _os.environ["BEVRENDER_SHIFT_SORT"] = "count"
+        try:
+            res["shift_sort_count_ms"] = round(device_bench(
+                lambda p: _sort_keys_by_shift(
+                    p, B, G, N_sca,
+                    (G, Hpg, 2 * HW - 1, 2 * HW * d - 1), HW, HW,
+                ),
+                pos_bgn,
+            ), 3)
+        finally:
+            del _os.environ["BEVRENDER_SHIFT_SORT"]
 
         # fused site at exact (G, Hpg, ch, N, M) eval shapes
         qh = jax.random.normal(rng, (B, G, Hpg, HW * HW, ch), dt)

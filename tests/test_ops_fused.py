@@ -390,3 +390,37 @@ class TestFusedLatticeBias:
             ref = _fwd_call(*args, dma=False)
             got = _fwd_call(*args, dma=True)
             np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_counting_shift_sort_matches_argsort(self):
+        """BEVRENDER_SHIFT_SORT=count (counting-rank scatter) reorders keys
+        identically to the stable argsort path, including gradients."""
+        import os
+
+        from bevrender_tpu.models.attention import (
+            _counting_rank8,
+            _sort_keys_by_shift,
+        )
+
+        rng = np.random.default_rng(13)
+        cls = jnp.asarray(rng.integers(0, 8, (4, 3, 200)), jnp.int32)
+        rank = _counting_rank8(cls)
+        order = jnp.argsort(cls, axis=-1, stable=True)
+        chk = jnp.take_along_axis(rank, order, axis=-1)
+        assert bool((chk == jnp.arange(200)).all())
+
+        B, G, N, H, W = 2, 3, 150, 8, 8
+        pos = jnp.asarray(rng.uniform(-0.95, 0.95, (B * G, N, 2)), jnp.float32)
+        tshape = (G, 2, 2 * H - 1, 2 * W * 4 - 1)
+
+        def run(p):
+            return _sort_keys_by_shift(p, B, G, N, tshape, H, W)
+
+        a, ga = run(pos), jax.grad(lambda p: jnp.sum(run(p) ** 3))(pos)
+        os.environ["BEVRENDER_SHIFT_SORT"] = "count"
+        try:
+            b, gb = run(pos), jax.grad(lambda p: jnp.sum(run(p) ** 3))(pos)
+        finally:
+            del os.environ["BEVRENDER_SHIFT_SORT"]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-6, atol=1e-7)
