@@ -63,8 +63,8 @@ def _torch_baseline_fps() -> float:
     return json.loads(cache.read_text())["torch_cpu_render_register_fps"]
 
 
-def _build_eval_setup():
-    """Model + batch + render_register fn for the eval flow (B=4, T=2)."""
+def _build_eval_setup(batch_size: int = 4):
+    """Model + batch + render_register fn for the eval flow (default B=4, T=2)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -72,8 +72,6 @@ def _build_eval_setup():
     from bevrender_tpu.config import flagship_config
     from bevrender_tpu.data.dataset import SyntheticDataset
     from bevrender_tpu.models.bevrender import BEVRenderModel
-
-    batch_size = 4
     n_tiles = 64
     cfg = flagship_config()
     cfg.model.dtype = "bfloat16"  # bf16 compute path (params stay f32)
