@@ -443,6 +443,101 @@ def _fused_site_bwd(H, W, scale, interpret, res, g):
 fused_site_attention.defvjp(_fused_site_fwd, _fused_site_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_site_attention_train(
+    q, k, v, k_pos, rpe_table, H, W, scale, interpret
+):
+    """Fused site with a FUSED flash-style backward (training path).
+
+    Forward: :func:`ops.pallas.fused_attn.fused_site_call_lse` — the fused
+    site kernel that also saves the softmax logsumexp. Backward:
+    :func:`ops.pallas.fused_attn.site_bwd_call` recomputes the probabilities
+    from the saved lse per tile in VMEM, computes dQ/dK/dV on the MXU, and
+    runs the lattice-bias cotangent tail (dtable scatter + dwy/df) inline —
+    unlike :func:`fused_site_attention`, no XLA consumer forward+backward is
+    re-executed and no (B, G, Hpg, N, M) tensor ever exists in HBM. The tiny
+    staging map (table/k_pos -> rearranged table + fractions) is differentiated
+    in XLA to chain dtable/dk_pos.
+
+    Gradient numerics differ from the XLA consumer path at bf16 matmul
+    level (tiled flash recomputation vs full-softmax autodiff); parity is
+    asserted to ~1e-2 in tests/test_ops_fused.py.
+
+    No dropout (callers fall back to the XLA consumer when attention dropout
+    is active). Select with BEVRENDER_FUSED_BWD=1 (trace-time, like the
+    other site-kernel knobs).
+    """
+    out, _ = _fused_site_train_fwd_impl(
+        q, k, v, k_pos, rpe_table, H, W, scale, interpret
+    )
+    return out
+
+
+def _fused_site_train_fwd_impl(q, k, v, k_pos, rpe_table, H, W, scale,
+                               interpret):
+    from bevrender_tpu.ops.pallas.fused_attn import fused_site_call_lse
+
+    N = k.shape[3]
+    t3m, wy4, f4, shift4, packed, gcol, Np = _kernel_inputs(
+        rpe_table, k_pos, H, W
+    )
+    kp = k
+    vp = v
+    if Np != N:
+        padn = Np - N
+        kp = jnp.pad(k, ((0, 0),) * 3 + ((0, padn), (0, 0)))
+        vp = jnp.pad(v, ((0, 0),) * 3 + ((0, padn), (0, 0)))
+    qcm = jnp.swapaxes(q, -1, -2)
+    out_cm, lse = fused_site_call_lse(
+        t3m, wy4, f4, shift4, packed, gcol, kp, vp, qcm,
+        H, W, Hpg := q.shape[2], interpret, N, scale,
+    )
+    res = (k_pos, rpe_table, t3m, wy4, f4, shift4, packed, gcol,
+           kp, vp, qcm, out_cm, lse)
+    return jnp.swapaxes(out_cm, -1, -2), res
+
+
+def _fused_site_train_fwd(q, k, v, k_pos, rpe_table, H, W, scale, interpret):
+    return _fused_site_train_fwd_impl(
+        q, k, v, k_pos, rpe_table, H, W, scale, interpret
+    )
+
+
+def _fused_site_train_bwd(H, W, scale, interpret, res, g):
+    from bevrender_tpu.ops.pallas.fused_attn import site_bwd_call
+
+    (k_pos, rpe_table, t3m, wy4, f4, shift4, packed, gcol,
+     kp, vp, qcm, out_cm, lse) = res
+    B, G, Hpg, ch, M = qcm.shape
+    N = k_pos.shape[2]
+    do_cm = jnp.swapaxes(g, -1, -2).astype(jnp.float32)
+    # flash-backward residual D = rowsum(dO * O) per (head, query)
+    dD = jnp.sum(do_cm * out_cm, axis=3)  # (B, G, Hpg, M)
+    dt3, dwy, df, dk_p, dv_p, dq_cm = site_bwd_call(
+        t3m, wy4, f4, shift4, packed, gcol, kp, vp, qcm, do_cm, lse, dD,
+        H, W, Hpg, interpret, N, scale,
+    )
+    dq = jnp.swapaxes(dq_cm, -1, -2)
+    dk = dk_p[:, :, :, :N]
+    dv = dv_p[:, :, :, :N]
+
+    # chain the staging map (table rearrange + per-key fractions) in XLA:
+    # dt3 -> dtable through pad/stack/transpose, dwy/df -> dk_pos through
+    # the fraction computation (integer starts carry no gradient, matching
+    # the XLA path where floor has zero gradient)
+    def staging(table, kpos):
+        t3m_, wy_, f_, *_ = _kernel_inputs(table, kpos, H, W)
+        return t3m_, wy_, f_
+
+    _, st_vjp = jax.vjp(staging, rpe_table, k_pos)
+    dtable, dkpos = st_vjp((dt3.astype(t3m.dtype), dwy, df))
+    return dq, dk, dv, dkpos, dtable
+
+
+fused_site_attention_train.defvjp(_fused_site_train_fwd,
+                                  _fused_site_train_bwd)
+
+
 def streamed_deform_attention(
     q: jax.Array,
     k: jax.Array,
@@ -489,6 +584,21 @@ def streamed_deform_attention(
         # G=8/ch=4) — fusion only wins when no gradient will flow.
         if fuse_site and lattice_kernel and on_tpu and not use_dropout and ch <= 8:
             return fused_site_attention(
+                q, k, v, k_pos, rpe_table, *lattice_hw,
+                scale=scale, interpret=False,
+            )
+        # training path with the fused flash-style backward kernel
+        # (BEVRENDER_FUSED_BWD=1, trace-time A/B knob like the others):
+        # fused fwd saves the logsumexp; the backward recomputes p in VMEM
+        # and emits dQ/dK/dV + the bias cotangent tail in one kernel instead
+        # of re-running the XLA consumer fwd+bwd.
+        import os as _os
+
+        if (
+            not fuse_site and lattice_kernel and on_tpu and not use_dropout
+            and ch <= 8 and _os.environ.get("BEVRENDER_FUSED_BWD") == "1"
+        ):
+            return fused_site_attention_train(
                 q, k, v, k_pos, rpe_table, *lattice_hw,
                 scale=scale, interpret=False,
             )

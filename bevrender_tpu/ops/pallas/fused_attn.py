@@ -596,6 +596,447 @@ def fused_site_call_v2(
     )(packed2, packed2, t3m, wy, f, shift, gcol, kb, vb, qb)
 
 
+def _site_kernel_lse(
+    packed_ref, t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
+    k_ref, v_ref, q_ref,
+    out_ref,     # VMEM (1, 1, Hpg, ch, M) f32
+    lse_ref,     # VMEM (1, 1, Hpg, M) f32 — logsumexp per (head, query)
+    win, xin, xres, sblk, macc, lacc, oacc,
+    *,
+    H: int, W: int, Hpg: int, ch: int, TN: int, Np: int,
+    nreal: int, scale: float,
+):
+    """``_site_kernel`` that also emits the softmax logsumexp.
+
+    The saved ``lse = m + log(l)`` lets the fused backward kernel
+    (:func:`_site_bwd_kernel`) recompute the attention probabilities exactly
+    (``p = exp(s - lse)``) without a second online pass — the standard
+    flash-attention residual (Dao et al.).
+    """
+    NT = Np // TN
+    t = pl.program_id(1)
+    row = (pl.program_id(0) * NT + t) % 8
+
+    _fill_xres(
+        packed_ref, t3_ref, f_ref, shift_ref, gcol_ref, win, xin, xres, row, H
+    )
+
+    wy = wy_ref[0, 0]
+    if Np == nreal:
+        valid = None
+    else:
+        kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
+        valid = kid < nreal
+    for iy in range(H):
+        rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
+        if valid is not None:
+            rowv = jnp.where(valid, rowv, -1e30)
+        for h in range(Hpg):
+            sblk[h, :, iy * W : (iy + 1) * W] = rowv[:, h * W : (h + 1) * W]
+
+    @pl.when(t == 0)
+    def _():
+        macc[...] = jnp.full(macc.shape, -1e30, jnp.float32)
+        lacc[...] = jnp.zeros(lacc.shape, jnp.float32)
+        oacc[...] = jnp.zeros(oacc.shape, jnp.float32)
+
+    for h in range(Hpg):
+        kblk = k_ref[0, 0, h].astype(jnp.bfloat16)
+        qblk = q_ref[0, 0, h].astype(jnp.bfloat16)
+        qk = jax.lax.dot_general(
+            kblk, qblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = sblk[h] + scale * qk
+        mold = macc[h : h + 1, :]
+        mnew = jnp.maximum(mold, jnp.max(s, axis=0, keepdims=True))
+        p = jnp.exp(s - mnew)
+        alpha = jnp.exp(mold - mnew)
+        macc[h : h + 1, :] = mnew
+        lacc[h : h + 1, :] = lacc[h : h + 1, :] * alpha + jnp.sum(
+            p, axis=0, keepdims=True
+        )
+        vblk = v_ref[0, 0, h].astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            vblk, p.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        oacc[h] = oacc[h] * alpha + contrib
+
+    @pl.when(t == NT - 1)
+    def _():
+        lsafe = jnp.maximum(lacc[...], 1e-30)
+        for h in range(Hpg):
+            out_ref[0, 0, h] = (
+                oacc[h] / lsafe[h : h + 1, :]
+            ).astype(out_ref.dtype)
+        lse_ref[0, 0] = (macc[...] + jnp.log(lsafe)).astype(lse_ref.dtype)
+
+
+def fused_site_call_lse(
+    t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
+    nreal, scale,
+):
+    """``fused_site_call`` that also returns the (B, G, Hpg, M) logsumexp
+    (the flash-attention backward residual)."""
+    G, m_max, Ypad, WH = t3m.shape
+    B, _, Np, _ = wy.shape
+    M = H * W
+    ch = k.shape[-1]
+    from bevrender_tpu.ops.pallas.lattice_bias import _tile_size
+
+    TN = _tile_size(Np)
+    H1AL = _h1al(H)
+    NT = Np // TN
+    n_cells = B * G * NT
+    r8 = -(-n_cells // 8) * 8
+    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(
+            _site_kernel_lse, H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
+            nreal=nreal, scale=float(scale),
+        ),
+        grid=(B * G, NT),
+        in_specs=[
+            pl.BlockSpec((8, TN), lambda bg, t: ((bg * NT + t) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m_max, Ypad, WH), lambda bg, t: (bg % G, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WH), lambda bg, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, ch, M),
+                         lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, Hpg, ch, M),
+                lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, Hpg, M),
+                lambda bg, t: (bg // G, bg % G, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+            pltpu.VMEM((Hpg, TN, M), jnp.float32),
+            pltpu.VMEM((Hpg, M), jnp.float32),
+            pltpu.VMEM((Hpg, M), jnp.float32),
+            pltpu.VMEM((Hpg, ch, M), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Hpg, M), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(packed2, t3m, wy, f, shift, gcol, k, v, qcm)
+
+
+def _site_bwd_kernel(
+    packed_ref,  # SMEM (8, TN) int32
+    t3_ref,      # VMEM (1, m_max, Ypad, WH)
+    wy_ref,      # VMEM (1, 1, TN, 1) f32
+    f_ref,       # VMEM (1, 1, TN, 1) f32
+    shift_ref,   # VMEM (1, 1, TN, 1) f32
+    gcol_ref,    # VMEM (1, WH) f32
+    k_ref,       # VMEM (1, 1, Hpg, TN, ch)
+    v_ref,       # VMEM (1, 1, Hpg, TN, ch)
+    q_ref,       # VMEM (1, 1, Hpg, ch, M)
+    do_ref,      # VMEM (1, 1, Hpg, ch, M) f32 — output cotangent (c-major)
+    lse_ref,     # VMEM (1, 1, Hpg, M) f32 — fwd logsumexp
+    dD_ref,      # VMEM (1, 1, Hpg, M) f32 — D = rowsum(dO * O) per (h, query)
+    dt3_ref,     # out VMEM (1, m_max, Ypad, WH) f32 — resident per g
+    dwy_ref,     # out VMEM (1, 1, TN, 1) f32
+    df_ref,      # out VMEM (1, 1, TN, 1) f32
+    dk_ref,      # out VMEM (1, 1, Hpg, TN, ch) f32
+    dv_ref,      # out VMEM (1, 1, Hpg, TN, ch) f32
+    dq_ref,      # out VMEM (1, 1, Hpg, ch, M) f32
+    win, xin, xres,   # recompute scratch (table dtype)
+    dsblk,       # scratch (Hpg, TN, M) f32 — bias rows, then ds
+    dqacc,       # scratch (Hpg, ch, M) f32
+    dxres,       # scratch (TN, H+1, WH) f32
+    dxin,        # scratch (TN, H1AL, WH) f32
+    dwin,        # scratch (TN, 3, H1AL, WH) f32
+    *,
+    H: int, W: int, Hpg: int, ch: int, TN: int, Np: int,
+    nreal: int, scale: float, G: int,
+):
+    """Fused backward of the attention site (flash-style, residual = lse).
+
+    Per (g, b) cell and key tile, entirely in VMEM:
+      1. recompute the bias tile (``_fill_xres`` front-end + y-mix) and the
+         scores ``s = bias + scale * K Q^T``; ``p = exp(s - lse)`` is exact
+         (same op sequence as the forward, lse saved);
+      2. MXU dots: ``dV = p dO^T``, ``dp = V dO``, ``ds = p (dp - D)``,
+         ``dK = scale * ds Q^T``, ``dQ += scale * K^T ds`` (accumulated
+         across tiles in scratch, written at the last tile);
+      3. the bias-cotangent tail of ``lattice_bias._bwd_kernel`` runs inline
+         on ``ds`` (transposed y-mix -> shift resolve -> x-mix -> per-key
+         scatter-add into the g-resident ``dt3`` block, plus dwy/df) — the
+         (B, G, Hpg, N, M) score/bias cotangents never exist in HBM.
+
+    Replaces the XLA-consumer recompute backward (ops/deform_attn.py
+    ``_fused_site_bwd``), which paid a full XLA forward + backward of the
+    dense site per gradient step.
+    """
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+    NT = Np // TN
+    row = ((b * G + g) * NT + t) % 8
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dt3_ref[...] = jnp.zeros(dt3_ref.shape, dt3_ref.dtype)
+
+    @pl.when(t == 0)
+    def _():
+        dqacc[...] = jnp.zeros(dqacc.shape, jnp.float32)
+
+    # recompute forward front-end (residual-free except lse)
+    wx, cb = _fill_xres(
+        packed_ref, t3_ref, f_ref, shift_ref, gcol_ref, win, xin, xres, row, H
+    )
+
+    wy = wy_ref[0, 0]
+    if Np == nreal:
+        valid = None
+    else:
+        kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
+        valid = kid < nreal
+    # rebuild the bias tile into dsblk (reused as s -> p -> ds in place)
+    for iy in range(H):
+        rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
+        if valid is not None:
+            rowv = jnp.where(valid, rowv, -1e30)
+        for h in range(Hpg):
+            dsblk[h, :, iy * W : (iy + 1) * W] = rowv[:, h * W : (h + 1) * W]
+
+    lse = lse_ref[0, 0]  # (Hpg, M)
+    dD = dD_ref[0, 0]    # (Hpg, M)
+    for h in range(Hpg):
+        kblk = k_ref[0, 0, h].astype(jnp.bfloat16)   # (TN, ch)
+        qblk = q_ref[0, 0, h].astype(jnp.bfloat16)   # (ch, M)
+        qk = jax.lax.dot_general(
+            kblk, qblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = dsblk[h] + scale * qk
+        # exact probabilities: same op sequence as the forward, shifted by
+        # the saved logsumexp (pad keys: exp(-1e30 - lse) == 0)
+        p = jnp.exp(s - lse[h : h + 1, :])           # (TN, M) f32
+        doblk = do_ref[0, 0, h].astype(jnp.bfloat16)  # (ch, M)
+        vblk = v_ref[0, 0, h].astype(jnp.bfloat16)   # (TN, ch)
+        pb = p.astype(jnp.bfloat16)
+        dv = jax.lax.dot_general(
+            pb, doblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (TN, ch)
+        dv_ref[0, 0, h] = dv.astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(
+            vblk, doblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (TN, M)
+        ds = p * (dp - dD[h : h + 1, :])             # (TN, M) f32
+        dsb = ds.astype(jnp.bfloat16)
+        dk = jax.lax.dot_general(
+            dsb, qblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (TN, ch)
+        dk_ref[0, 0, h] = (scale * dk).astype(dk_ref.dtype)
+        dq = jax.lax.dot_general(
+            kblk, dsb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (ch, M)
+        dqacc[h] = dqacc[h] + scale * dq
+        dsblk[h] = ds
+
+    @pl.when(t == NT - 1)
+    def _():
+        for h in range(Hpg):
+            dq_ref[0, 0, h] = dqacc[h].astype(dq_ref.dtype)
+
+    # ---- bias-cotangent tail (mirrors lattice_bias._bwd_kernel) ----
+    w0 = win[:, 0].astype(jnp.float32)
+    w1 = win[:, 1].astype(jnp.float32)
+    w2 = win[:, 2].astype(jnp.float32)
+    left = jnp.where(cb, w1, w0)
+    right = jnp.where(cb, w2, w1)
+
+    dxres[...] = jnp.zeros(dxres.shape, dxres.dtype)
+    dwy_acc = jnp.zeros((TN, 1), jnp.float32)
+    for iy in range(H):
+        parts = []
+        for h in range(Hpg):
+            parts.append(dsblk[h, :, iy * W : (iy + 1) * W])
+        grow = jnp.concatenate(parts, axis=-1)  # (TN, WH) f32
+        dxres[:, iy, :] += (1.0 - wy) * grow
+        dxres[:, iy + 1, :] += wy * grow
+        dwy_acc += jnp.sum(
+            grow * (xres[:, iy + 1, :] - xres[:, iy, :]),
+            axis=-1, keepdims=True,
+        )
+    dwy_ref[0, 0] = dwy_acc
+
+    shift = shift_ref[0, 0]
+    dxin[...] = jnp.zeros(dxin.shape, dxin.dtype)
+    for s_ in range(8):
+        smask = shift == float(s_)
+
+        @pl.when(jnp.any(smask))
+        def _(s_=s_, smask=smask):
+            dxin[:, s_ : s_ + H + 1, :] = jnp.where(
+                smask[:, None, :],
+                dxin[:, s_ : s_ + H + 1, :] + dxres[...],
+                dxin[:, s_ : s_ + H + 1, :],
+            )
+
+    dxin_v = dxin[...]
+    dleft = dxin_v * (1.0 - wx)
+    dright = dxin_v * wx
+    dphi = jnp.sum(dxin_v * (right - left), axis=1)  # (TN, WH)
+    df_ref[0, 0] = jnp.sum(dphi, axis=-1, keepdims=True)
+    zero = jnp.zeros_like(dleft)
+    dwin[:, 0] = jnp.where(cb, zero, dleft)
+    dwin[:, 1] = jnp.where(cb, dleft, dright)
+    dwin[:, 2] = jnp.where(cb, dright, zero)
+
+    def scatter(i, c):
+        packed = packed_ref[row, i]
+        ys = packed >> 16
+        ms = packed & 0xFFFF
+        ys8 = pl.multiple_of((ys // 8) * 8, 8)
+        blk = dt3_ref[0, pl.ds(ms, 3), pl.ds(ys8, _h1al(H)), :]
+        dt3_ref[0, pl.ds(ms, 3), pl.ds(ys8, _h1al(H)), :] = blk + dwin[i]
+        return c
+
+    jax.lax.fori_loop(0, TN, scatter, 0)
+
+
+def site_bwd_call(
+    t3m, wy, f, shift, packed, gcol, k, v, qcm, do_cm, lse, dD,
+    H, W, Hpg, interpret, nreal, scale,
+):
+    """Run the fused site backward kernel.
+
+    Args (beyond ``fused_site_call``'s): ``do_cm`` (B, G, Hpg, ch, M) f32
+    output cotangent (channel-major), ``lse``/``dD`` (B, G, Hpg, M) f32
+    forward logsumexp and rowsum(dO * O).
+
+    Returns (dt3 f32, dwy, df, dk, dv, dq_cm) — dk/dv key-padded like k/v,
+    dq_cm channel-major like qcm.
+    """
+    G, m_max, Ypad, WH = t3m.shape
+    B, _, Np, _ = wy.shape
+    M = H * W
+    ch = k.shape[-1]
+    from bevrender_tpu.ops.pallas.lattice_bias import _tile_size
+
+    TN = min(_tile_size(Np), 64)
+    H1AL = _h1al(H)
+    NT = Np // TN
+    n_cells = B * G * NT
+    r8 = -(-n_cells // 8) * 8
+    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(
+            _site_bwd_kernel, H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
+            nreal=nreal, scale=float(scale), G=G,
+        ),
+        grid=(G, B, NT),
+        in_specs=[
+            pl.BlockSpec((8, TN),
+                         lambda g, b, t: (((b * G + g) * NT + t) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m_max, Ypad, WH), lambda g, b, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WH), lambda g, b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda g, b, t: (b, g, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda g, b, t: (b, g, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, ch, M),
+                         lambda g, b, t: (b, g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, ch, M),
+                         lambda g, b, t: (b, g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, M), lambda g, b, t: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, M), lambda g, b, t: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m_max, Ypad, WH), lambda g, b, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda g, b, t: (b, g, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda g, b, t: (b, g, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, ch, M),
+                         lambda g, b, t: (b, g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
+            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+            pltpu.VMEM((Hpg, TN, M), jnp.float32),
+            pltpu.VMEM((Hpg, ch, M), jnp.float32),
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
+            pltpu.VMEM((TN, H1AL, WH), jnp.float32),
+            pltpu.VMEM((TN, 3, H1AL, WH), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, m_max, Ypad, WH), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Hpg, Np, ch), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Hpg, Np, ch), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(packed2, t3m, wy, f, shift, gcol, k, v, qcm, do_cm, lse, dD)
+
+
 def fused_site_call(
     t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
     nreal, scale,

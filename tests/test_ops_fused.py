@@ -424,3 +424,94 @@ class TestFusedLatticeBias:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=1e-6, atol=1e-7)
+
+
+class TestFusedSiteTrainBackward:
+    """The fused flash-style backward (fused_site_attention_train): forward
+    must match the dense reference like the eval kernel; gradients must match
+    XLA autodiff through the streamed fallback to bf16-matmul tolerance (the
+    backward recomputes p from the saved logsumexp and runs tiled bf16 MXU
+    dots instead of the consumer's full-softmax autodiff)."""
+
+    def _qkv(self, B, G, Hpg, H, W, N, ch, seed):
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 3)
+        q = jax.random.normal(ks[0], (B, G, Hpg, H * W, ch))
+        k = jax.random.normal(ks[1], (B, G, Hpg, N, ch))
+        v = jax.random.normal(ks[2], (B, G, Hpg, N, ch))
+        q_pos = jnp.stack(
+            jnp.meshgrid(
+                jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, W), indexing="ij"
+            ),
+            axis=-1,
+        ).reshape(H * W, 2)
+        return q, k, v, q_pos
+
+    def test_forward_matches_dense_reference(self):
+        from bevrender_tpu.ops.deform_attn import fused_site_attention_train
+
+        for B, G, Hpg, H, W, d, ch, seed in (
+            (2, 2, 2, 8, 8, 2, 4, 0),
+            (1, 1, 2, 6, 4, 1, 8, 7),   # N=24 -> Np=64: padded keys masked
+        ):
+            table, k_pos, H, W, N = _setup(B=B, G=G, Hpg=Hpg, H=H, W=W, d=d,
+                                           seed=seed)
+            q, k, v, q_pos = self._qkv(B, G, Hpg, H, W, N, ch, seed + 50)
+            scale = ch ** -0.5
+            out_ref = dense_deform_attention_reference(
+                q, k, v, q_pos, k_pos, table, scale=scale
+            )
+            out_got = fused_site_attention_train(
+                q, k, v, k_pos, table, H, W, scale, True
+            )
+            assert out_got.shape == out_ref.shape
+            np.testing.assert_allclose(
+                np.asarray(out_got), np.asarray(out_ref),
+                rtol=2e-2, atol=2e-2,
+            )
+
+    def test_grads_match_xla_path(self):
+        from bevrender_tpu.ops.deform_attn import fused_site_attention_train
+
+        for B, G, Hpg, H, W, d, ch, seed in (
+            (1, 2, 2, 8, 8, 2, 4, 2),
+            (1, 1, 2, 6, 4, 1, 8, 9),   # padded keys: ds must vanish there
+        ):
+            table, k_pos, H, W, N = _setup(B=B, G=G, Hpg=Hpg, H=H, W=W, d=d,
+                                           seed=seed)
+            q, k, v, q_pos = self._qkv(B, G, Hpg, H, W, N, ch, seed + 11)
+            scale = ch ** -0.5
+
+            def loss_fused(q, k, v, k_pos, table):
+                out = fused_site_attention_train(
+                    q, k, v, k_pos, table, H, W, scale, True
+                )
+                w = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)).reshape(
+                    out.shape
+                )
+                return jnp.sum(out * w)
+
+            def loss_ref(q, k, v, k_pos, table):
+                out = streamed_deform_attention(
+                    q, k, v, q_pos, k_pos, table, scale=scale,
+                    lattice_hw=(H, W), lattice_kernel=False,
+                )
+                w = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)).reshape(
+                    out.shape
+                )
+                return jnp.sum(out * w)
+
+            g_got = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+                q, k, v, k_pos, table
+            )
+            g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+                q, k, v, k_pos, table
+            )
+            names = ("dq", "dk", "dv", "dk_pos", "dtable")
+            for name, a, b in zip(names, g_got, g_ref):
+                scale_ref = float(np.max(np.abs(np.asarray(b)))) + 1e-12
+                np.testing.assert_allclose(
+                    np.asarray(a) / scale_ref, np.asarray(b) / scale_ref,
+                    rtol=2e-2, atol=2e-2,
+                    err_msg=f"{name} mismatch (B={B} G={G} ch={ch})",
+                )
