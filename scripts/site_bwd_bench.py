@@ -103,6 +103,10 @@ def main():
         "g8_sca_B2": (2, 8, 2, 28, 28, 1568, 4),
         "g4_sca_B2": (2, 4, 2, 28, 28, 1568, 8),
         "g8_tsa_B2": (2, 8, 2, 28, 28, 784, 4),
+        # above the eval ch<=8 fusion crossover: the backward's economics
+        # differ (it saves the consumer's full fwd+bwd, not just the fwd),
+        # so measure whether fusion should gate wider in training
+        "g2_sca_B2_ch16": (2, 2, 2, 28, 28, 1568, 16),
     }.items():
         q, k, v, k_pos, table, q_pos = make_site(B, G, Hpg, H, W, N, ch)
         scale = ch ** -0.5
