@@ -151,6 +151,76 @@ class RegistrationPipeline:
         return rendered, idx[:, :top_k], dist[:, :top_k]
 
     # ------------------------------------------------------------------
+    # Mesh-sharded registration: for production-scale tile databases the
+    # (N, D) matrix outgrows one chip's HBM; shard it over the mesh and
+    # merge per-shard top-k with one small all-gather over ICI. The
+    # reference holds the whole database in host numpy (train.py:384-395)
+    # and cannot scale it at all.
+    def make_sharded_matcher(self, mesh, axis: str = "data", top_k: int = 10):
+        """Build a jitted (query_emb, db) -> (top-k indices, distances)
+        matcher with ``db`` sharded over ``mesh`` axis ``axis``.
+
+        ``db`` must be padded to a multiple of the axis size (use
+        :func:`pad_tile_db`); pad rows are reported as +inf distance and can
+        never enter the top-k while ``top_k <= n_real``. Each shard computes
+        its local (B, k) candidates on the MXU, then one (B, k * n_shards)
+        all-gather + merge produces exact global top-k — the full (B, N)
+        distance matrix never crosses the interconnect.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        try:  # jax >= 0.6: public API, `check_vma`
+            from jax import shard_map as _shard_map
+
+            norep = {"check_vma": False}
+        except ImportError:  # older: experimental location, `check_rep`
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+            norep = {"check_rep": False}
+
+        n_shards = mesh.shape[axis]
+
+        def local_match(q, db_shard, nreal):
+            # q: (B, D) replicated; db_shard: (Nl, D); nreal: () replicated
+            nl = db_shard.shape[0]
+            shard = jax.lax.axis_index(axis)
+            dist = 2.0 - 2.0 * (q @ db_shard.T)  # (B, Nl)
+            gidx0 = shard * nl + jnp.arange(nl, dtype=jnp.int32)
+            dist = jnp.where(gidx0[None, :] < nreal, dist, jnp.inf)
+            k = min(top_k, nl)
+            neg, lidx = jax.lax.top_k(-dist, k)  # (B, k)
+            gidx = shard * nl + lidx.astype(jnp.int32)
+            cand_d = jax.lax.all_gather(-neg, axis, axis=1, tiled=True)
+            cand_i = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+            neg2, sel = jax.lax.top_k(-cand_d, min(top_k, k * n_shards))
+            return jnp.take_along_axis(cand_i, sel, axis=1), -neg2
+
+        # outputs ARE replicated (identical all-gathered candidates +
+        # deterministic top_k on every shard) but the static replication
+        # checker cannot infer it through top_k/take_along_axis
+        fn = _shard_map(
+            local_match,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P()),
+            out_specs=(P(), P()),
+            **norep,
+        )
+        return jax.jit(fn)
+
+    @staticmethod
+    def pad_tile_db(db: jax.Array, n_shards: int) -> Tuple[jax.Array, int]:
+        """Pad the (N, D) database to a multiple of ``n_shards`` rows.
+
+        Returns (padded db, N) — pass N as ``nreal`` to the sharded matcher
+        so pad rows are masked to +inf distance.
+        """
+        n = db.shape[0]
+        pad = (-n) % n_shards
+        if pad:
+            db = jnp.concatenate([db, jnp.zeros((pad, db.shape[1]), db.dtype)])
+        return db, n
+
+    # ------------------------------------------------------------------
     def evaluate_recall(self, dataset, batch_size: int = 1) -> Dict[str, float]:
         """Paired recall@1/5/10 over a dataset of (camera window, map tile)."""
         from bevrender_tpu.data.prefetch import DataLoader, device_prefetch

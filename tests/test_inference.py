@@ -109,6 +109,36 @@ class TestRegistration:
             np.asarray(out), np.asarray(full), rtol=2e-4, atol=2e-5
         )
 
+    def test_sharded_matcher_matches_unsharded(self, pipeline):
+        """Mesh-sharded tile-DB matching (local top-k + all-gather merge)
+        must return exactly the unsharded matcher's global top-k, including
+        with a database that does not divide the mesh (pad rows masked to
+        +inf) and with top_k larger than a shard."""
+        from bevrender_tpu.parallel.mesh import make_mesh
+
+        pipe, _, _ = pipeline
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(3)
+        D = 64
+        for n_tiles, top_k in ((37, 5), (40, 8)):
+            db = jnp.asarray(rng.standard_normal((n_tiles, D)), jnp.float32)
+            db = db / jnp.linalg.norm(db, axis=-1, keepdims=True)
+            q = jnp.asarray(rng.standard_normal((3, D)), jnp.float32)
+            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+            idx_ref, dist_ref = pipe._match(q, db)
+            matcher = pipe.make_sharded_matcher(mesh, top_k=top_k)
+            dbp, nreal = pipe.pad_tile_db(db, mesh.shape["data"])
+            idx_got, dist_got = matcher(q, dbp, jnp.int32(nreal))
+
+            np.testing.assert_array_equal(
+                np.asarray(idx_got), np.asarray(idx_ref[:, :top_k])
+            )
+            np.testing.assert_allclose(
+                np.asarray(dist_got), np.asarray(dist_ref[:, :top_k]),
+                rtol=1e-5, atol=1e-6,
+            )
+
 
 class TestMapLoader:
     def test_tiles_and_month_key(self, tmp_path):
