@@ -190,6 +190,20 @@ def _lattice_bias(
     return bias.astype(jnp.float32)
 
 
+def _static_comb(table_shape, W: int):
+    """Static per-column comb of the lattice lookup: integer column starts
+    ``u0``, fractions ``g``, window width ``m_max`` and pad — pure numpy,
+    shared by the staging, its transpose, and the geometry below."""
+    G, Hpg, Ht, Wt = table_shape
+    PAD = 4
+    Ax = (Wt - 1) / 4.0
+    u_shift = Ax * (-1.0 + 2.0 * np.arange(W) / (W - 1)) + Ax
+    u0 = np.floor(u_shift).astype(np.int32)
+    g = (u_shift - u0).astype(np.float32)
+    m_max = int(np.ceil((Wt - 1) / 2.0)) + 3 + PAD
+    return u0, g, m_max, PAD
+
+
 def _lattice_geometry(table_shape, k_pos, H: int, W: int):
     """Shared per-key geometry of the lattice rpe lookup.
 
@@ -202,17 +216,13 @@ def _lattice_geometry(table_shape, k_pos, H: int, W: int):
     G, Hpg, Ht, Wt = table_shape
     if Ht != 2 * H - 1:
         raise ValueError(f"lattice bias requires Ht == 2H-1, got {Ht} vs H={H}")
-    PAD = 4
+    u0, g, m_max, PAD = _static_comb(table_shape, W)
     Ay = (Ht - 1) / 4.0
     Ax = (Wt - 1) / 4.0
     ky = k_pos[..., 0]
     kx = k_pos[..., 1]
     sy = -Ay * ky + (Ht - 1) / 2.0 - (H - 1) / 2.0
     sx_shift = -Ax * kx + (Wt - 1) / 2.0 - Ax
-    u_shift = Ax * (-1.0 + 2.0 * np.arange(W) / (W - 1)) + Ax
-    u0 = np.floor(u_shift).astype(np.int32)
-    g = (u_shift - u0).astype(np.float32)
-    m_max = int(np.ceil((Wt - 1) / 2.0)) + 3 + PAD
     y0 = jnp.floor(sy)
     wy = sy - y0
     s0 = jnp.floor(sx_shift)
@@ -228,6 +238,46 @@ def lattice_shift_class(table_shape, k_pos, H: int, W: int) -> jax.Array:
     gather so the Pallas bias kernel executes ~1 class branch per tile instead
     of 8 (attention over sampled keys is permutation-invariant)."""
     return _lattice_geometry(table_shape, k_pos, H, W)[2]
+
+
+def _stage_table(table: jax.Array, u0, m_max: int, PAD: int, H: int,
+                 compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Head-major rearranged table (G, m_max, Ypad, Hpg*W).
+
+    Structurally LINEAR in ``table`` (cast + pad + static slices + stack +
+    transpose), so the fused-site backward obtains d_table from d_t3m with
+    ``jax.linear_transpose`` — no forward re-staging."""
+    G, Hpg, Ht, Wt = table.shape
+    W = len(u0)
+    Y = Ht + 2 * PAD
+    Tp = jnp.pad(
+        table.astype(compute_dtype),
+        ((0, 0), (0, 0), (PAD, PAD), (PAD, max(PAD, m_max))),
+    )
+    t3 = jnp.stack(
+        [Tp[:, :, :, int(u0[ix]) : int(u0[ix]) + m_max] for ix in range(W)],
+        axis=3,
+    )  # (G, Hpg, Y, W, m_max)
+    t3 = jnp.transpose(t3, (0, 4, 2, 1, 3)).reshape(G, m_max, Y, Hpg * W)
+    from bevrender_tpu.ops.pallas.lattice_bias import _h1al
+
+    y_pad = (-Y % 8) + _h1al(H)
+    return jnp.pad(t3, ((0, 0), (0, 0), (0, y_pad), (0, 0)))
+
+
+def _stage_fracs(k_pos: jax.Array, table_shape, H: int, W: int, Np: int):
+    """Tile-padded per-key bilinear fractions (wy4, f4) — the only staging
+    outputs through which ``k_pos`` receives gradient (integer starts carry
+    none, matching the XLA path where floor has zero gradient)."""
+    _, _, _, wy, f, *_ = _lattice_geometry(table_shape, k_pos, H, W)
+    pad = Np - k_pos.shape[2]
+    if pad:
+        wy = jnp.pad(wy, ((0, 0), (0, 0), (0, pad)))
+        f = jnp.pad(f, ((0, 0), (0, 0), (0, pad)))
+    return (
+        wy[..., None].astype(jnp.float32),
+        f[..., None].astype(jnp.float32),
+    )
 
 
 def _kernel_inputs(
@@ -253,30 +303,15 @@ def _kernel_inputs(
         ys = jnp.pad(ys, ((0, 0), (0, 0), (0, pad)))
         ms = jnp.pad(ms, ((0, 0), (0, 0), (0, pad)))
         shift = jnp.pad(shift, ((0, 0), (0, 0), (0, pad)))
-        wy = jnp.pad(wy, ((0, 0), (0, 0), (0, pad)))
-        f = jnp.pad(f, ((0, 0), (0, 0), (0, pad)))
     packed = ((ys << 16) | ms).reshape(B * G * Np)
 
-    # head-major rearranged table: (G, m_max, Ypad, Hpg*W)
-    Y = Ht + 2 * PAD
-    Tp = jnp.pad(
-        table.astype(compute_dtype),
-        ((0, 0), (0, 0), (PAD, PAD), (PAD, max(PAD, m_max))),
-    )
-    t3 = jnp.stack(
-        [Tp[:, :, :, int(u0[ix]) : int(u0[ix]) + m_max] for ix in range(W)],
-        axis=3,
-    )  # (G, Hpg, Y, W, m_max)
-    t3 = jnp.transpose(t3, (0, 4, 2, 1, 3)).reshape(G, m_max, Y, Hpg * W)
-    from bevrender_tpu.ops.pallas.lattice_bias import _h1al
-
-    y_pad = (-Y % 8) + _h1al(H)
-    t3m = jnp.pad(t3, ((0, 0), (0, 0), (0, y_pad), (0, 0)))
+    t3m = _stage_table(table, u0, m_max, PAD, H, compute_dtype)
+    wy4, f4 = _stage_fracs(k_pos, table.shape, H, W, Np)
     gcol = jnp.asarray(np.tile(g, Hpg)).reshape(1, Hpg * W)
     return (
         t3m,
-        wy[..., None].astype(jnp.float32),
-        f[..., None].astype(jnp.float32),
+        wy4,
+        f4,
         shift[..., None].astype(jnp.float32),
         packed,
         gcol,
@@ -521,16 +556,21 @@ def _fused_site_train_bwd(H, W, scale, interpret, res, g):
     dk = dk_p[:, :, :, :N]
     dv = dv_p[:, :, :, :N]
 
-    # chain the staging map (table rearrange + per-key fractions) in XLA:
-    # dt3 -> dtable through pad/stack/transpose, dwy/df -> dk_pos through
-    # the fraction computation (integer starts carry no gradient, matching
-    # the XLA path where floor has zero gradient)
-    def staging(table, kpos):
-        t3m_, wy_, f_, *_ = _kernel_inputs(table, kpos, H, W)
-        return t3m_, wy_, f_
-
-    _, st_vjp = jax.vjp(staging, rpe_table, k_pos)
-    dtable, dkpos = st_vjp((dt3.astype(t3m.dtype), dwy, df))
+    # chain the staging maps in XLA without re-running them forward:
+    # the table staging is structurally linear -> jax.linear_transpose
+    # turns dt3 into dtable directly; the fraction staging is a tiny
+    # elementwise chain of k_pos -> jax.vjp (its forward is negligible;
+    # integer starts carry no gradient, matching the XLA path where floor
+    # has zero gradient)
+    u0, _, m_max, PAD = _static_comb(rpe_table.shape, W)
+    Np = kp.shape[3]
+    (dtable,) = jax.linear_transpose(
+        lambda tb: _stage_table(tb, u0, m_max, PAD, H), rpe_table
+    )(dt3.astype(t3m.dtype))
+    _, frac_vjp = jax.vjp(
+        lambda kpos: _stage_fracs(kpos, rpe_table.shape, H, W, Np), k_pos
+    )
+    (dkpos,) = frac_vjp((dwy, df))
     return dq, dk, dv, dkpos, dtable
 
 

@@ -47,34 +47,17 @@ from jax.experimental.pallas import tpu as pltpu
 from bevrender_tpu.ops.pallas.lattice_bias import _fill_xres, _h1al, _mix_resolve
 
 
-def _site_kernel(
-    packed_ref,  # SMEM (8, TN) int32: ys<<16 | ms, row = cell % 8
-    t3_ref,      # VMEM (1, m_max, Ypad, WH) bf16/f32, WH = Hpg*W head-major
-    wy_ref,      # VMEM (1, 1, TN, 1) f32
-    f_ref,       # VMEM (1, 1, TN, 1) f32
-    shift_ref,   # VMEM (1, 1, TN, 1) f32 (0..7)
-    gcol_ref,    # VMEM (1, WH) f32
-    k_ref,       # VMEM (1, 1, Hpg, TN, ch)
-    v_ref,       # VMEM (1, 1, Hpg, TN, ch)
-    q_ref,       # VMEM (1, 1, Hpg, ch, M) c-major: queries on lanes
-    out_ref,     # VMEM (1, 1, Hpg, ch, M) f32
-    win,         # scratch (TN, 3, H1AL, WH) table-dtype
-    xin,         # scratch (TN, H1AL, WH) f32
-    xres,        # scratch (TN, H+1, WH) f32
-    sblk,        # scratch (Hpg, TN, M) f32 — bias/scores tile
-    macc,        # scratch (Hpg, M) f32 — running max per (head, query)
-    lacc,        # scratch (Hpg, M) f32 — running sum
-    oacc,        # scratch (Hpg, ch, M) f32 — unnormalized output
-    *,
-    H: int,
-    W: int,
-    Hpg: int,
-    ch: int,
-    TN: int,
-    Np: int,
-    nreal: int,
-    scale: float,
+def _site_fwd_body(
+    packed_ref, t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
+    k_ref, v_ref, q_ref, out_ref, lse_ref,
+    win, xin, xres, sblk, macc, lacc, oacc,
+    *, H, W, Hpg, ch, TN, Np, nreal, scale,
 ):
+    """Shared fused-site forward body (see _site_kernel for ref shapes).
+
+    ``lse_ref`` is None for the eval kernel; the training kernel passes a
+    (1, 1, Hpg, M) block and receives the softmax logsumexp (the
+    flash-attention backward residual)."""
     NT = Np // TN
     t = pl.program_id(1)
     row = (pl.program_id(0) * NT + t) % 8
@@ -138,10 +121,40 @@ def _site_kernel(
 
     @pl.when(t == NT - 1)
     def _():
+        lsafe = jnp.maximum(lacc[...], 1e-30)
         for h in range(Hpg):
             out_ref[0, 0, h] = (
-                oacc[h] / jnp.maximum(lacc[h : h + 1, :], 1e-30)
+                oacc[h] / lsafe[h : h + 1, :]
             ).astype(out_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0, 0] = (macc[...] + jnp.log(lsafe)).astype(lse_ref.dtype)
+
+
+def _site_kernel(
+    packed_ref,  # SMEM (8, TN) int32: ys<<16 | ms, row = cell % 8
+    t3_ref,      # VMEM (1, m_max, Ypad, WH) bf16/f32, WH = Hpg*W head-major
+    wy_ref,      # VMEM (1, 1, TN, 1) f32
+    f_ref,       # VMEM (1, 1, TN, 1) f32
+    shift_ref,   # VMEM (1, 1, TN, 1) f32 (0..7)
+    gcol_ref,    # VMEM (1, WH) f32
+    k_ref,       # VMEM (1, 1, Hpg, TN, ch)
+    v_ref,       # VMEM (1, 1, Hpg, TN, ch)
+    q_ref,       # VMEM (1, 1, Hpg, ch, M) c-major: queries on lanes
+    out_ref,     # VMEM (1, 1, Hpg, ch, M) f32
+    win,         # scratch (TN, 3, H1AL, WH) table-dtype
+    xin,         # scratch (TN, H1AL, WH) f32
+    xres,        # scratch (TN, H+1, WH) f32
+    sblk,        # scratch (Hpg, TN, M) f32 — bias/scores tile
+    macc,        # scratch (Hpg, M) f32 — running max per (head, query)
+    lacc,        # scratch (Hpg, M) f32 — running sum
+    oacc,        # scratch (Hpg, ch, M) f32 — unnormalized output
+    **consts,
+):
+    _site_fwd_body(
+        packed_ref, t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
+        k_ref, v_ref, q_ref, out_ref, None,
+        win, xin, xres, sblk, macc, lacc, oacc, **consts,
+    )
 
 
 def _site_kernel_dma(
@@ -602,9 +615,7 @@ def _site_kernel_lse(
     out_ref,     # VMEM (1, 1, Hpg, ch, M) f32
     lse_ref,     # VMEM (1, 1, Hpg, M) f32 — logsumexp per (head, query)
     win, xin, xres, sblk, macc, lacc, oacc,
-    *,
-    H: int, W: int, Hpg: int, ch: int, TN: int, Np: int,
-    nreal: int, scale: float,
+    **consts,
 ):
     """``_site_kernel`` that also emits the softmax logsumexp.
 
@@ -613,72 +624,19 @@ def _site_kernel_lse(
     (``p = exp(s - lse)``) without a second online pass — the standard
     flash-attention residual (Dao et al.).
     """
-    NT = Np // TN
-    t = pl.program_id(1)
-    row = (pl.program_id(0) * NT + t) % 8
-
-    _fill_xres(
-        packed_ref, t3_ref, f_ref, shift_ref, gcol_ref, win, xin, xres, row, H
+    _site_fwd_body(
+        packed_ref, t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
+        k_ref, v_ref, q_ref, out_ref, lse_ref,
+        win, xin, xres, sblk, macc, lacc, oacc, **consts,
     )
 
-    wy = wy_ref[0, 0]
-    if Np == nreal:
-        valid = None
-    else:
-        kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
-        valid = kid < nreal
-    for iy in range(H):
-        rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
-        if valid is not None:
-            rowv = jnp.where(valid, rowv, -1e30)
-        for h in range(Hpg):
-            sblk[h, :, iy * W : (iy + 1) * W] = rowv[:, h * W : (h + 1) * W]
 
-    @pl.when(t == 0)
-    def _():
-        macc[...] = jnp.full(macc.shape, -1e30, jnp.float32)
-        lacc[...] = jnp.zeros(lacc.shape, jnp.float32)
-        oacc[...] = jnp.zeros(oacc.shape, jnp.float32)
-
-    for h in range(Hpg):
-        kblk = k_ref[0, 0, h].astype(jnp.bfloat16)
-        qblk = q_ref[0, 0, h].astype(jnp.bfloat16)
-        qk = jax.lax.dot_general(
-            kblk, qblk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = sblk[h] + scale * qk
-        mold = macc[h : h + 1, :]
-        mnew = jnp.maximum(mold, jnp.max(s, axis=0, keepdims=True))
-        p = jnp.exp(s - mnew)
-        alpha = jnp.exp(mold - mnew)
-        macc[h : h + 1, :] = mnew
-        lacc[h : h + 1, :] = lacc[h : h + 1, :] * alpha + jnp.sum(
-            p, axis=0, keepdims=True
-        )
-        vblk = v_ref[0, 0, h].astype(jnp.bfloat16)
-        contrib = jax.lax.dot_general(
-            vblk, p.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        oacc[h] = oacc[h] * alpha + contrib
-
-    @pl.when(t == NT - 1)
-    def _():
-        lsafe = jnp.maximum(lacc[...], 1e-30)
-        for h in range(Hpg):
-            out_ref[0, 0, h] = (
-                oacc[h] / lsafe[h : h + 1, :]
-            ).astype(out_ref.dtype)
-        lse_ref[0, 0] = (macc[...] + jnp.log(lsafe)).astype(lse_ref.dtype)
-
-
-def fused_site_call_lse(
+def _fused_site_pallas_call(
     t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
-    nreal, scale,
+    nreal, scale, with_lse,
 ):
-    """``fused_site_call`` that also returns the (B, G, Hpg, M) logsumexp
-    (the flash-attention backward residual)."""
+    """Shared builder for the inline-extract fused site kernel
+    (``fused_site_call`` / ``fused_site_call_lse``)."""
     G, m_max, Ypad, WH = t3m.shape
     B, _, Np, _ = wy.shape
     M = H * W
@@ -691,9 +649,29 @@ def fused_site_call_lse(
     n_cells = B * G * NT
     r8 = -(-n_cells // 8) * 8
     packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    out_specs = pl.BlockSpec(
+        (1, 1, Hpg, ch, M),
+        lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32)
+    if with_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (1, 1, Hpg, M),
+                lambda bg, t: (bg // G, bg % G, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((B, G, Hpg, M), jnp.float32),
+        ]
     return pl.pallas_call(
         functools.partial(
-            _site_kernel_lse, H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
+            _site_kernel_lse if with_lse else _site_kernel,
+            H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
             nreal=nreal, scale=float(scale),
         ),
         grid=(B * G, NT),
@@ -720,18 +698,7 @@ def fused_site_call_lse(
                          lambda bg, t: (bg // G, bg % G, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, Hpg, ch, M),
-                lambda bg, t: (bg // G, bg % G, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, Hpg, M),
-                lambda bg, t: (bg // G, bg % G, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
             pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
@@ -741,15 +708,24 @@ def fused_site_call_lse(
             pltpu.VMEM((Hpg, M), jnp.float32),
             pltpu.VMEM((Hpg, ch, M), jnp.float32),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32),
-            jax.ShapeDtypeStruct((B, G, Hpg, M), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(packed2, t3m, wy, f, shift, gcol, k, v, qcm)
+
+
+def fused_site_call_lse(
+    t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
+    nreal, scale,
+):
+    """``fused_site_call`` that also returns the (B, G, Hpg, M) logsumexp
+    (the flash-attention backward residual)."""
+    return _fused_site_pallas_call(
+        t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
+        nreal, scale, with_lse=True,
+    )
 
 
 def _site_bwd_kernel(
@@ -876,61 +852,19 @@ def _site_bwd_kernel(
         for h in range(Hpg):
             dq_ref[0, 0, h] = dqacc[h].astype(dq_ref.dtype)
 
-    # ---- bias-cotangent tail (mirrors lattice_bias._bwd_kernel) ----
-    w0 = win[:, 0].astype(jnp.float32)
-    w1 = win[:, 1].astype(jnp.float32)
-    w2 = win[:, 2].astype(jnp.float32)
-    left = jnp.where(cb, w1, w0)
-    right = jnp.where(cb, w2, w1)
+    # ---- bias-cotangent tail (shared with lattice_bias._bwd_kernel) ----
+    from bevrender_tpu.ops.pallas.lattice_bias import _bias_cotangent_tail
 
-    dxres[...] = jnp.zeros(dxres.shape, dxres.dtype)
-    dwy_acc = jnp.zeros((TN, 1), jnp.float32)
-    for iy in range(H):
+    def grow_row(iy):
         parts = []
         for h in range(Hpg):
             parts.append(dsblk[h, :, iy * W : (iy + 1) * W])
-        grow = jnp.concatenate(parts, axis=-1)  # (TN, WH) f32
-        dxres[:, iy, :] += (1.0 - wy) * grow
-        dxres[:, iy + 1, :] += wy * grow
-        dwy_acc += jnp.sum(
-            grow * (xres[:, iy + 1, :] - xres[:, iy, :]),
-            axis=-1, keepdims=True,
-        )
-    dwy_ref[0, 0] = dwy_acc
+        return jnp.concatenate(parts, axis=-1)  # (TN, WH) f32
 
-    shift = shift_ref[0, 0]
-    dxin[...] = jnp.zeros(dxin.shape, dxin.dtype)
-    for s_ in range(8):
-        smask = shift == float(s_)
-
-        @pl.when(jnp.any(smask))
-        def _(s_=s_, smask=smask):
-            dxin[:, s_ : s_ + H + 1, :] = jnp.where(
-                smask[:, None, :],
-                dxin[:, s_ : s_ + H + 1, :] + dxres[...],
-                dxin[:, s_ : s_ + H + 1, :],
-            )
-
-    dxin_v = dxin[...]
-    dleft = dxin_v * (1.0 - wx)
-    dright = dxin_v * wx
-    dphi = jnp.sum(dxin_v * (right - left), axis=1)  # (TN, WH)
-    df_ref[0, 0] = jnp.sum(dphi, axis=-1, keepdims=True)
-    zero = jnp.zeros_like(dleft)
-    dwin[:, 0] = jnp.where(cb, zero, dleft)
-    dwin[:, 1] = jnp.where(cb, dleft, dright)
-    dwin[:, 2] = jnp.where(cb, dright, zero)
-
-    def scatter(i, c):
-        packed = packed_ref[row, i]
-        ys = packed >> 16
-        ms = packed & 0xFFFF
-        ys8 = pl.multiple_of((ys // 8) * 8, 8)
-        blk = dt3_ref[0, pl.ds(ms, 3), pl.ds(ys8, _h1al(H)), :]
-        dt3_ref[0, pl.ds(ms, 3), pl.ds(ys8, _h1al(H)), :] = blk + dwin[i]
-        return c
-
-    jax.lax.fori_loop(0, TN, scatter, 0)
+    _bias_cotangent_tail(
+        grow_row, packed_ref, wy, shift_ref, win, xres, wx, cb,
+        dt3_ref, dwy_ref, df_ref, dxres, dxin, dwin, row, H,
+    )
 
 
 def site_bwd_call(
@@ -1050,64 +984,7 @@ def fused_site_call(
 
     Returns (B, G, Hpg, ch, M) f32 attention output (channel-major).
     """
-    G, m_max, Ypad, WH = t3m.shape
-    B, _, Np, _ = wy.shape
-    M = H * W
-    ch = k.shape[-1]
-    from bevrender_tpu.ops.pallas.lattice_bias import _tile_size
-
-    TN = _tile_size(Np)
-    H1AL = _h1al(H)
-    NT = Np // TN
-    n_cells = B * G * NT
-    r8 = -(-n_cells // 8) * 8
-    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
-    return pl.pallas_call(
-        functools.partial(
-            _site_kernel, H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
-            nreal=nreal, scale=float(scale),
-        ),
-        grid=(B * G, NT),
-        in_specs=[
-            pl.BlockSpec((8, TN), lambda bg, t: ((bg * NT + t) // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, m_max, Ypad, WH), lambda bg, t: (bg % G, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WH), lambda bg, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hpg, TN, ch),
-                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hpg, TN, ch),
-                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Hpg, ch, M),
-                         lambda bg, t: (bg // G, bg % G, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, Hpg, ch, M),
-            lambda bg, t: (bg // G, bg % G, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
-            pltpu.VMEM((Hpg, TN, M), jnp.float32),
-            pltpu.VMEM((Hpg, M), jnp.float32),
-            pltpu.VMEM((Hpg, M), jnp.float32),
-            pltpu.VMEM((Hpg, ch, M), jnp.float32),
-        ],
-        out_shape=jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(packed2, t3m, wy, f, shift, gcol, k, v, qcm)
+    return _fused_site_pallas_call(
+        t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
+        nreal, scale, with_lse=False,
+    )

@@ -233,46 +233,21 @@ def _fwd_kernel_dma(
             ]
 
 
-def _bwd_kernel(
-    packed_ref,
-    t3_ref,
-    wy_ref,
-    f_ref,
-    shift_ref,
-    gcol_ref,
-    gout_ref,    # VMEM (1, 1, Hpg, TN, M) cotangent
-    dt3_ref,     # VMEM out (1, m_max, Ypad, WH) f32, resident per g
-    dwy_ref,     # VMEM out (1, 1, TN, 1) f32
-    df_ref,      # VMEM out (1, 1, TN, 1) f32
-    win,
-    xin,
-    xres,
-    dxres,       # scratch (TN, H+1, WH) f32
-    dxin,        # scratch (TN, H1AL, WH) f32
-    dwin,        # scratch (TN, 3, H1AL, WH) f32
-    *,
-    H: int,
-    W: int,
-    Hpg: int,
-    TN: int,
-    Np: int,
-    G: int,
+def _bias_cotangent_tail(
+    grow_row, packed_ref, wy, shift_ref, win, xres, wx, cb,
+    dt3_ref, dwy_ref, df_ref, dxres, dxin, dwin, row, H,
 ):
-    g = pl.program_id(0)
-    b = pl.program_id(1)
-    t = pl.program_id(2)
+    """Transposed bias stages shared by the bias backward and the fused-site
+    backward (ops/pallas/fused_attn._site_bwd_kernel): y-mix^T (dxres, dwy),
+    shift-resolve^T (dxin), x-mix^T (dwin, df) and the per-key scatter-add of
+    dwin into the g-resident dt3 block.
+
+    ``grow_row(iy)`` returns the (TN, WH) f32 bias cotangent of query row iy;
+    ``wy``/``wx``/``cb``/``win``/``xres`` are the recomputed forward-front-end
+    products of :func:`_fill_xres` for this tile.
+    """
+    TN = win.shape[0]
     H1AL = _h1al(H)
-    NT = Np // TN
-    row = ((b * G + g) * NT + t) % 8
-
-    @pl.when((b == 0) & (t == 0))
-    def _():
-        dt3_ref[...] = jnp.zeros(dt3_ref.shape, dt3_ref.dtype)
-
-    # recompute forward front-end (residual-free backward)
-    wx, cb = _fill_xres(
-        packed_ref, t3_ref, f_ref, shift_ref, gcol_ref, win, xin, xres, row, H
-    )
     w0 = win[:, 0].astype(jnp.float32)
     w1 = win[:, 1].astype(jnp.float32)
     w2 = win[:, 2].astype(jnp.float32)
@@ -280,16 +255,10 @@ def _bwd_kernel(
     right = jnp.where(cb, w2, w1)
 
     # ---- transposed y-mix: d_xres and d_wy ----
-    wy = wy_ref[0, 0]
     dxres[...] = jnp.zeros(dxres.shape, dxres.dtype)
     dwy_acc = jnp.zeros((TN, 1), jnp.float32)
     for iy in range(H):
-        parts = []
-        for h in range(Hpg):
-            parts.append(
-                gout_ref[0, 0, h, :, iy * W : (iy + 1) * W].astype(jnp.float32)
-            )
-        grow = jnp.concatenate(parts, axis=-1)  # (TN, WH)
+        grow = grow_row(iy)  # (TN, WH)
         dxres[:, iy, :] += (1.0 - wy) * grow
         dxres[:, iy + 1, :] += wy * grow
         dwy_acc += jnp.sum(
@@ -335,6 +304,60 @@ def _bwd_kernel(
         return c
 
     jax.lax.fori_loop(0, TN, scatter, 0)
+
+
+def _bwd_kernel(
+    packed_ref,
+    t3_ref,
+    wy_ref,
+    f_ref,
+    shift_ref,
+    gcol_ref,
+    gout_ref,    # VMEM (1, 1, Hpg, TN, M) cotangent
+    dt3_ref,     # VMEM out (1, m_max, Ypad, WH) f32, resident per g
+    dwy_ref,     # VMEM out (1, 1, TN, 1) f32
+    df_ref,      # VMEM out (1, 1, TN, 1) f32
+    win,
+    xin,
+    xres,
+    dxres,       # scratch (TN, H+1, WH) f32
+    dxin,        # scratch (TN, H1AL, WH) f32
+    dwin,        # scratch (TN, 3, H1AL, WH) f32
+    *,
+    H: int,
+    W: int,
+    Hpg: int,
+    TN: int,
+    Np: int,
+    G: int,
+):
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+    NT = Np // TN
+    row = ((b * G + g) * NT + t) % 8
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dt3_ref[...] = jnp.zeros(dt3_ref.shape, dt3_ref.dtype)
+
+    # recompute forward front-end (residual-free backward)
+    wx, cb = _fill_xres(
+        packed_ref, t3_ref, f_ref, shift_ref, gcol_ref, win, xin, xres, row, H
+    )
+
+    def grow_row(iy):
+        parts = []
+        for h in range(Hpg):
+            parts.append(
+                gout_ref[0, 0, h, :, iy * W : (iy + 1) * W].astype(jnp.float32)
+            )
+        return jnp.concatenate(parts, axis=-1)  # (TN, WH)
+
+    _bias_cotangent_tail(
+        grow_row, packed_ref, wy_ref[0, 0], shift_ref, win, xres, wx, cb,
+        dt3_ref, dwy_ref, df_ref, dxres, dxin, dwin, row, H,
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))

@@ -15,11 +15,18 @@ Run on the chip:  python scripts/site_bwd_bench.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
+
+# streamed_deform_attention consults BEVRENDER_FUSED_BWD at trace time; if
+# it leaked into this process (e.g. re-running the A/B after flipping
+# production on), the "XLA consumer" arm would silently BE the fused path
+# and the whole comparison would be vacuous — drop it before any tracing.
+os.environ.pop("BEVRENDER_FUSED_BWD", None)
 
 import jax
 

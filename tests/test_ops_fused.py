@@ -90,8 +90,8 @@ class TestFusedLatticeBias:
         )
 
     def test_padding_and_masking_in_site(self):
-        # N=24 pads to Np=128 inside the kernel path; the full site must mask
-        # the 104 fake keys so outputs match the XLA path exactly.
+        # N=12 pads to Np=64 inside the kernel path; the full site must mask
+        # the 52 fake keys so outputs match the XLA path exactly.
         B, G, Hpg, H, W, d = 1, 1, 2, 6, 4, 1
         N = (H // 2) * W * d
         ch = 4
@@ -139,7 +139,7 @@ class TestFusedLatticeBias:
         # (production compute dtype), hence the loose tolerance
         for B, G, Hpg, H, W, d, ch, seed in (
             (2, 2, 2, 8, 8, 2, 4, 0),
-            (1, 1, 2, 6, 4, 1, 8, 7),   # N=24 -> Np=64: padded keys masked
+            (1, 1, 2, 6, 4, 1, 8, 7),   # N=12 -> Np=64: 52 pad keys masked
             (1, 2, 1, 4, 4, 3, 16, 3),  # wide table, more channels
         ):
             table, k_pos, H, W, N = _setup(B=B, G=G, Hpg=Hpg, H=H, W=W, d=d,
@@ -452,7 +452,7 @@ class TestFusedSiteTrainBackward:
 
         for B, G, Hpg, H, W, d, ch, seed in (
             (2, 2, 2, 8, 8, 2, 4, 0),
-            (1, 1, 2, 6, 4, 1, 8, 7),   # N=24 -> Np=64: padded keys masked
+            (1, 1, 2, 6, 4, 1, 8, 7),   # N=12 -> Np=64: 52 pad keys masked
         ):
             table, k_pos, H, W, N = _setup(B=B, G=G, Hpg=Hpg, H=H, W=W, d=d,
                                            seed=seed)
