@@ -283,12 +283,71 @@ def timed_eval_flow(batch_size: int = 4) -> dict:
     }
 
 
+def _apply_kernel_ab_defaults() -> dict:
+    """Select kernel variants from the committed on-chip A/B artifacts.
+
+    The site/bias/backward kernel variants are trace-time env knobs
+    (ops/deform_attn.py, ops/pallas/lattice_bias.py). When the A/B benches
+    have run (scripts/site_dma_bench.py -> SITE_DMA_BENCH.json,
+    scripts/site_bwd_bench.py -> SITE_BWD_BENCH.json), pick each winner by
+    measured time BEFORE anything traces; explicit env vars always win
+    (setdefault). Returns the choices for the bench record."""
+    choices = {}
+    try:
+        ab = json.loads((ROOT / "SITE_DMA_BENCH.json").read_text())
+        shapes = [v for k, v in ab.items()
+                  if isinstance(v, dict) and "plain_ms" in v]
+        if shapes:
+            total = {
+                "": sum(s["plain_ms"] for s in shapes),
+                "1": sum(s.get("dma_ms", float("inf")) for s in shapes),
+                "2": sum(s.get("v2_ms", float("inf")) for s in shapes),
+            }
+            best = min(total, key=total.get)
+            if best:
+                os.environ.setdefault("BEVRENDER_SITE_DMA", best)
+            choices["site_variant"] = {"": "plain", "1": "dma", "2": "v2"}[
+                os.environ.get("BEVRENDER_SITE_DMA", best)
+            ]
+            bias_plain = sum(s.get("bias_plain_ms", 0.0) for s in shapes)
+            bias_dma = sum(
+                s.get("bias_dma_ms", float("inf")) for s in shapes
+            )
+            if 0.0 < bias_dma < bias_plain:
+                os.environ.setdefault("BEVRENDER_BIAS_DMA", "1")
+            choices["bias_dma"] = os.environ.get("BEVRENDER_BIAS_DMA") == "1"
+    except FileNotFoundError:
+        pass
+    except (json.JSONDecodeError, OSError, KeyError, TypeError) as e:
+        print(f"SITE_DMA_BENCH.json unusable for autotune: {e!r}",
+              file=sys.stderr)
+    try:
+        bw = json.loads((ROOT / "SITE_BWD_BENCH.json").read_text())
+        flagship = [v for k, v in bw.items()
+                    if isinstance(v, dict) and "speedup" in v
+                    and not k.startswith("g2_")]  # g2 ch=16 is gated off
+        if flagship and all(v["speedup"] > 1.02 for v in flagship):
+            os.environ.setdefault("BEVRENDER_FUSED_BWD", "1")
+        choices["fused_bwd"] = os.environ.get("BEVRENDER_FUSED_BWD") == "1"
+    except FileNotFoundError:
+        pass
+    except (json.JSONDecodeError, OSError, KeyError, TypeError) as e:
+        print(f"SITE_BWD_BENCH.json unusable for autotune: {e!r}",
+              file=sys.stderr)
+    if choices:
+        print(f"kernel autotune from A/B artifacts: {choices}",
+              file=sys.stderr)
+    return choices
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    kernel_choices = _apply_kernel_ab_defaults()
 
     import jax.numpy as jnp
     import numpy as np
@@ -369,6 +428,9 @@ def main():
             # recomputes the full T-frame window per sample and cannot
             # stream at all
             "streaming": streaming,
+            # kernel variants picked from committed A/B artifacts
+            # (_apply_kernel_ab_defaults); empty until the A/B benches ran
+            "kernel_autotune": kernel_choices or None,
         }
 
     # emit the eval-only line immediately so a hung/failed train compile

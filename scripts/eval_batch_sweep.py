@@ -32,9 +32,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from bench import timed_eval_flow
+    from bench import _apply_kernel_ab_defaults, timed_eval_flow
 
-    out = {"runs": [], "note": "flagship uniform-28 bf16, T=2, 3 views; "
+    choices = _apply_kernel_ab_defaults()  # same variants as the headline
+    out = {"runs": [], "kernel_autotune": choices or None,
+           "note": "flagship uniform-28 bf16, T=2, 3 views; "
            "bench.py timed_eval_flow (device-side differenced timing)"}
     for b in [int(x) for x in args.batches.split(",")]:
         flow = timed_eval_flow(b)
