@@ -244,11 +244,58 @@ def measure(frames: int = 2, T: int = 2) -> float:
     return frames / dt
 
 
+def measure_train_step(steps: int = 1, B: int = 2, T: int = 2) -> float:
+    """Wall ms per training step (fwd + bwd + AdamW), the reference regime:
+    history frames under no_grad (bevrender.py:124-134), gradient on the
+    final frame; MSE render loss + paired-arange contrastive on the
+    flattened embeddings (train.py:96-125 MSE_CONTRASTIVE). Pairs with
+    bench.py's train_ms_per_step (B=2, T=2)."""
+    model = TorchBEVRender().train()
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-4, weight_decay=1e-4)
+    images = torch.randn(B, T, 3, 3, 224, 224)
+    maps = torch.rand(B, 3, 224, 224)
+
+    def views(t):
+        f = model.backbone(images[:, t].reshape(B * 3, 3, 224, 224))
+        return f.reshape(B, 3, *f.shape[1:])
+
+    def step():
+        opt.zero_grad()
+        with torch.no_grad():  # recurrent history, no grads
+            feats = views(0)
+            x = model.embedding[None].expand(B, -1, -1, -1)
+            for stage in model.stages:
+                x = stage(x, feats)
+        feats = views(T - 1)
+        x = model.embedding[None].expand(B, -1, -1, -1)
+        for stage in model.stages:
+            x = stage(x, feats)
+        render = model.decoder(x)
+        mse = F.mse_loss(render, maps)
+        cam = torch.nn.functional.normalize(render.flatten(1), dim=-1)
+        mp = torch.nn.functional.normalize(maps.flatten(1), dim=-1)
+        sims = cam @ mp.T
+        pos = sims.diagonal()
+        neg = sims - torch.eye(B) * 1e9
+        contrastive = (1 - pos).clamp(min=0).mean() + neg.clamp(min=0).mean()
+        (mse + contrastive).backward()
+        opt.step()
+
+    ts = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        step()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2] * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=2)
     ap.add_argument("--stages", action="store_true",
                     help="also measure the 5-config matrix (BASELINE.md)")
+    ap.add_argument("--train", action="store_true",
+                    help="also measure the B=2 T=2 training step")
     ap.add_argument("--out", default=str(Path(__file__).resolve().parent.parent
                                          / "BASELINE_MEASURED.json"))
     args = ap.parse_args()
@@ -270,6 +317,9 @@ def main():
     })
     if args.stages:
         payload["stages_torch_cpu_ms"] = measure_stages()
+    if args.train:
+        payload["torch_cpu_train_ms_per_step"] = measure_train_step()
+        payload["torch_cpu_train_config"] = "B=2, T=2, MSE+contrastive, AdamW"
     out_path.write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload))
 
