@@ -48,6 +48,18 @@ FLOPS_CACHE = ROOT / ".jax_cache" / "flops_cache.json"
 FLOPS_KEY = "flagship_u28_bf16_evalB4T2_trainB2T2_v2"  # v2: mm-form K/V sampling
 
 
+def _torch_baseline_train_ms() -> float | None:
+    cache = ROOT / "BASELINE_MEASURED.json"
+    if cache.exists():
+        try:
+            return json.loads(cache.read_text()).get(
+                "torch_cpu_train_ms_per_step"
+            )
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"BASELINE_MEASURED.json unreadable: {e!r}", file=sys.stderr)
+    return None
+
+
 def _torch_baseline_fps() -> float:
     cache = ROOT / "BASELINE_MEASURED.json"
     if cache.exists():
@@ -412,6 +424,13 @@ def main():
             "train_ms_per_step": round(train_ms, 2) if train_ms else None,
             "train_frames_per_sec": (
                 round(2 / (train_ms / 1e3), 3) if train_ms else None
+            ),
+            # torch-CPU same-regime training step (B=2, T=2):
+            # baselines/torch_cpu_baseline.py --train
+            "train_vs_baseline": (
+                round(_torch_baseline_train_ms() / train_ms, 1)
+                if train_ms and _torch_baseline_train_ms()
+                else None
             ),
             "mfu": round(mfu, 5) if mfu else None,
             "train_mfu": round(train_mfu, 5) if train_mfu else None,
