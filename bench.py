@@ -45,7 +45,29 @@ sys.path.insert(0, str(ROOT))
 
 PEAK_BF16_TFLOPS = 197.0  # TPU v5e
 FLOPS_CACHE = ROOT / ".jax_cache" / "flops_cache.json"
-FLOPS_KEY = "flagship_u28_bf16_evalB4T2_trainB2T2_v2"  # v2: mm-form K/V sampling
+
+
+def _flops_key(eval_b: int) -> str:
+    # v2: mm-form K/V sampling
+    return f"flagship_u28_bf16_evalB{eval_b}T2_trainB2T2_v2"
+
+
+def _headline_eval_batch() -> int:
+    """Headline eval batch size: measured-best from EVAL_BATCH_SWEEP.json
+    (scripts/eval_batch_sweep.py) when available, else 4. Env override:
+    BEVRENDER_BENCH_EVAL_B."""
+    env = os.environ.get("BEVRENDER_BENCH_EVAL_B")
+    if env:
+        return int(env)
+    sweep = ROOT / "EVAL_BATCH_SWEEP.json"
+    if sweep.exists():
+        try:
+            best = json.loads(sweep.read_text()).get("best_batch")
+            if best:
+                return int(best)
+        except (json.JSONDecodeError, OSError, ValueError) as e:
+            print(f"EVAL_BATCH_SWEEP.json unusable: {e!r}", file=sys.stderr)
+    return 4
 
 
 def _torch_baseline_train_ms() -> float | None:
@@ -155,7 +177,8 @@ def _flops_only() -> None:
 
     out = {}
 
-    model, batch, tiles, render_register, _ = _build_eval_setup()
+    eval_b = int(os.environ.get("BENCH_EVAL_B", "4"))
+    model, batch, tiles, render_register, _ = _build_eval_setup(eval_b)
     # shape-only init: no forward execution needed to lower the step
     var_shapes = jax.eval_shape(
         lambda b: model.init(jax.random.PRNGKey(0), b), batch
@@ -195,19 +218,20 @@ def _flops_only() -> None:
     print(json.dumps(out), flush=True)
 
 
-def _get_flops(eval_lowered=None, train_lowered=None) -> dict:
+def _get_flops(eval_lowered=None, train_lowered=None, eval_b: int = 4) -> dict:
     """FLOP counts for MFU. Tries (1) the cache, (2) in-process cost
     analysis of the already-lowered steps, (3) a CPU-backend subprocess.
     Failures are REPORTED on stderr, never swallowed."""
+    key = _flops_key(eval_b)
     if FLOPS_CACHE.exists():
         try:
             cached = json.loads(FLOPS_CACHE.read_text())
-            if cached.get("key") == FLOPS_KEY:
+            if cached.get("key") == key:
                 return cached
         except (json.JSONDecodeError, OSError) as e:
             print(f"flops cache unreadable: {e!r}", file=sys.stderr)
 
-    out = {"key": FLOPS_KEY, "eval_flops": None, "train_flops": None}
+    out = {"key": key, "eval_flops": None, "train_flops": None}
     for name, lowered in (("eval", eval_lowered), ("train", train_lowered)):
         if lowered is None:
             continue
@@ -223,6 +247,7 @@ def _get_flops(eval_lowered=None, train_lowered=None) -> dict:
         env = dict(os.environ)
         env["PYTHONPATH"] = ""  # skip the axon site hook: pure-CPU process
         env["JAX_PLATFORMS"] = "cpu"
+        env["BENCH_EVAL_B"] = str(eval_b)
         try:
             proc = subprocess.run(
                 [sys.executable, str(ROOT / "bench.py"), "--flops-only"],
@@ -364,7 +389,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    flow = timed_eval_flow()
+    eval_b = _headline_eval_batch()
+    flow = timed_eval_flow(eval_b)
     variables, camera, pose, vtype, tiles = (
         flow["variables"], flow["camera"], flow["pose"], flow["vtype"],
         flow["tiles"],
@@ -380,7 +406,7 @@ def main():
         )
     except Exception as e:
         print(f"eval lowering for cost analysis failed: {e!r}", file=sys.stderr)
-    flops = _get_flops(eval_lowered=eval_lowered)
+    flops = _get_flops(eval_lowered=eval_lowered, eval_b=eval_b)
     mfu = None
     if flops.get("eval_flops"):
         mfu = flops["eval_flops"] / (eval_ms / 1e3) / (PEAK_BF16_TFLOPS * 1e12)
@@ -414,7 +440,7 @@ def main():
         return {
             "metric": (
                 "BEV render+register throughput "
-                "(flagship uniform-28 bf16, B=4, T=2, 3 views)"
+                f"(flagship uniform-28 bf16, B={eval_b}, T=2, 3 views)"
             ),
             "value": round(fps, 3),
             "unit": "frames/sec/chip",

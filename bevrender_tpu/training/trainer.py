@@ -561,10 +561,16 @@ class Trainer:
                 "opt_state": state.opt_state,
             },
         )
+        # the per-step dropout stream is fold_in(rng, state.step): recover the
+        # step counter from the optimizer's update count (saved inside
+        # opt_state) so a resumed run continues the stream instead of
+        # replaying it from 0. InjectStatefulHyperparamsState.count increments
+        # once per applied update == steps taken.
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["opt_state"].count),
         )
 
 

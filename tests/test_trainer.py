@@ -107,6 +107,46 @@ class TestCheckpoint:
         for a, b in zip(orig, rest):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_resume_equivalence(self, setup, tmp_path):
+        """save -> restore -> continue == training straight through.
+
+        Proves the checkpoint carries everything the step depends on
+        (params, batch stats, optimizer moments AND the step counter that
+        seeds the per-step dropout stream). The reference cannot restore at
+        all (utils/utils.py:99 saves only)."""
+        cfg, ds, model, trainer, sample, fresh_state = setup
+        trainer.work_dir = str(tmp_path)
+        batch = {k: jnp.asarray(v) for k, v in sample.items()}
+        rng = jax.random.PRNGKey(7)
+
+        # run A: 4 steps straight through
+        state = fresh_state()
+        for _ in range(4):
+            state, _, _ = trainer._train_step(state, batch, rng)
+        final_a = state
+
+        # run B: 2 steps, checkpoint, restore into a fresh template, 2 more
+        state = fresh_state()
+        for _ in range(2):
+            state, _, _ = trainer._train_step(state, batch, rng)
+        trainer.save_checkpoint(state, epoch=1, best=True)
+        resumed = trainer.restore_checkpoint(
+            fresh_state(), str(tmp_path / "best_epoch_1")
+        )
+        assert int(resumed.step) == 2  # recovered from opt_state.count
+        for _ in range(2):
+            resumed, _, _ = trainer._train_step(resumed, batch, rng)
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(
+                (final_a.params, final_a.batch_stats, final_a.opt_state)
+            ),
+            jax.tree_util.tree_leaves(
+                (resumed.params, resumed.batch_stats, resumed.opt_state)
+            ),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_latest_best(self, setup, tmp_path):
         from bevrender_tpu.training.checkpoint import latest_best
 
