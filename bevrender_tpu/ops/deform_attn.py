@@ -510,8 +510,21 @@ def fused_site_attention_train(
 
 def _fused_site_train_fwd_impl(q, k, v, k_pos, rpe_table, H, W, scale,
                                interpret):
-    from bevrender_tpu.ops.pallas.fused_attn import fused_site_call_lse
+    import os
 
+    from bevrender_tpu.ops.pallas.fused_attn import (
+        fused_site_call_lse,
+        fused_site_call_v2_lse,
+    )
+
+    # the training forward follows the eval site-variant knob: the v2
+    # head-folded kernel emits the same per-(head, query) lse residual, so
+    # the fused backward is variant-agnostic (trace-time, like eval)
+    fwd_call = (
+        fused_site_call_v2_lse
+        if os.environ.get("BEVRENDER_SITE_DMA", "") == "2"
+        else fused_site_call_lse
+    )
     N = k.shape[3]
     t3m, wy4, f4, shift4, packed, gcol, Np = _kernel_inputs(
         rpe_table, k_pos, H, W
@@ -523,7 +536,7 @@ def _fused_site_train_fwd_impl(q, k, v, k_pos, rpe_table, H, W, scale,
         kp = jnp.pad(k, ((0, 0),) * 3 + ((0, padn), (0, 0)))
         vp = jnp.pad(v, ((0, 0),) * 3 + ((0, padn), (0, 0)))
     qcm = jnp.swapaxes(q, -1, -2)
-    out_cm, lse = fused_site_call_lse(
+    out_cm, lse = fwd_call(
         t3m, wy4, f4, shift4, packed, gcol, kp, vp, qcm,
         H, W, Hpg := q.shape[2], interpret, N, scale,
     )

@@ -372,12 +372,13 @@ def fused_site_call_dma(
     )(packed2, packed2, t3m, wy, f, shift, gcol, k, v, qcm)
 
 
-def _site_kernel_v2(
+def _site_v2_body(
     packed_ref, packednx_ref, t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
     kb_ref,       # VMEM (1, 1, TN, HC) keys, heads folded on lanes
     vb_ref,       # VMEM (1, 1, TN, HC)
     qb_ref,       # VMEM (1, 1, HC, Mbig) block-diagonal padded queries
     out_ref,      # VMEM (1, 1, Hpg, ch, M) f32
+    lse_ref,      # VMEM (1, 1, Hpg, M) f32 logsumexp, or None (eval kernel)
     win2, xin, xres,
     sblk,         # scratch (TN, Mbig) f32 — head-folded scores
     macc,         # scratch (1, Mbig) f32
@@ -503,17 +504,56 @@ def _site_kernel_v2(
         for h in range(Hpg):
             for iy in range(H):
                 col = iy * 128 + h * W
+                lsafe = jnp.maximum(lacc[:, col : col + W], 1e-30)
                 out_ref[0, 0, h, :, iy * W : (iy + 1) * W] = (
-                    oacc[h * ch : (h + 1) * ch, col : col + W]
-                    / jnp.maximum(lacc[:, col : col + W], 1e-30)
+                    oacc[h * ch : (h + 1) * ch, col : col + W] / lsafe
                 ).astype(out_ref.dtype)
+                if lse_ref is not None:
+                    # per-column online state == per-(head, query) state (each
+                    # folded column belongs to exactly one head/query), so the
+                    # per-head lse is a re-slice — identical residual to
+                    # _site_kernel_lse's
+                    lse_ref[0, 0, h : h + 1, iy * W : (iy + 1) * W] = (
+                        macc[:, col : col + W] + jnp.log(lsafe)
+                    ).astype(lse_ref.dtype)
+
+
+def _site_kernel_v2(
+    packed_ref, packednx_ref, t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
+    kb_ref, vb_ref, qb_ref, out_ref,
+    win2, xin, xres, sblk, macc, lacc, oacc, sem, **consts,
+):
+    _site_v2_body(
+        packed_ref, packednx_ref, t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
+        kb_ref, vb_ref, qb_ref, out_ref, None,
+        win2, xin, xres, sblk, macc, lacc, oacc, sem, **consts,
+    )
+
+
+def _site_kernel_v2_lse(
+    packed_ref, packednx_ref, t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
+    kb_ref, vb_ref, qb_ref, out_ref, lse_ref,
+    win2, xin, xres, sblk, macc, lacc, oacc, sem, **consts,
+):
+    """``_site_kernel_v2`` that also emits the per-(head, query) logsumexp —
+    the flash-backward residual, so the head-folded forward can feed
+    :func:`_site_bwd_kernel` (which is layout-independent: it recomputes
+    per-head from the same staged inputs)."""
+    _site_v2_body(
+        packed_ref, packednx_ref, t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
+        kb_ref, vb_ref, qb_ref, out_ref, lse_ref,
+        win2, xin, xres, sblk, macc, lacc, oacc, sem, **consts,
+    )
 
 
 def fused_site_call_v2(
     t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
-    nreal, scale,
+    nreal, scale, with_lse: bool = False,
 ):
-    """``fused_site_call`` with DMA prefetch + head-folded 128-pad layout."""
+    """``fused_site_call`` with DMA prefetch + head-folded 128-pad layout.
+
+    ``with_lse=True`` also returns the (B, G, Hpg, M) logsumexp (training
+    forward, same contract as :func:`fused_site_call_lse`)."""
     G, m_max, Ypad, WH = t3m.shape
     B, _, Np, _ = wy.shape
     M = H * W
@@ -523,7 +563,8 @@ def fused_site_call_v2(
     if WH > 128:
         # the folded layout packs one query row's Hpg*W lanes into a single
         # 128-lane block; wider sites use the per-head kernel
-        return fused_site_call_dma(
+        fallback = fused_site_call_lse if with_lse else fused_site_call_dma
+        return fallback(
             t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg,
             interpret, nreal, scale,
         )
@@ -550,9 +591,29 @@ def fused_site_call_v2(
         )
     qb = qb.reshape(B, G, HC, Mbig)
 
+    out_specs = pl.BlockSpec(
+        (1, 1, Hpg, ch, M),
+        lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32)
+    if with_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(
+                (1, 1, Hpg, M),
+                lambda bg, t: (bg // G, bg % G, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((B, G, Hpg, M), jnp.float32),
+        ]
     return pl.pallas_call(
         functools.partial(
-            _site_kernel_v2, H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
+            _site_kernel_v2_lse if with_lse else _site_kernel_v2,
+            H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
             nreal=nreal, scale=float(scale),
         ),
         grid=(B * G, NT),
@@ -586,11 +647,7 @@ def fused_site_call_v2(
                          lambda bg, t: (bg // G, bg % G, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, Hpg, ch, M),
-            lambda bg, t: (bg // G, bg % G, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, TN, 3, H1AL, WH), t3m.dtype),
             pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
@@ -601,7 +658,7 @@ def fused_site_call_v2(
             pltpu.VMEM((HC, Mbig), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-        out_shape=jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -723,6 +780,19 @@ def fused_site_call_lse(
     """``fused_site_call`` that also returns the (B, G, Hpg, M) logsumexp
     (the flash-attention backward residual)."""
     return _fused_site_pallas_call(
+        t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
+        nreal, scale, with_lse=True,
+    )
+
+
+def fused_site_call_v2_lse(
+    t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
+    nreal, scale,
+):
+    """``fused_site_call_v2`` that also returns the logsumexp — the training
+    forward for the head-folded variant (wide sites fall back to the
+    per-head ``fused_site_call_lse`` inside)."""
+    return fused_site_call_v2(
         t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
         nreal, scale, with_lse=True,
     )

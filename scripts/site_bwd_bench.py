@@ -26,7 +26,10 @@ sys.path.insert(0, str(ROOT))
 # it leaked into this process (e.g. re-running the A/B after flipping
 # production on), the "XLA consumer" arm would silently BE the fused path
 # and the whole comparison would be vacuous — drop it before any tracing.
+# Likewise BEVRENDER_SITE_DMA: the fused train forward follows it, so a
+# leaked "2" would silently turn the "fused" arm into the v2 arm.
 os.environ.pop("BEVRENDER_FUSED_BWD", None)
+os.environ.pop("BEVRENDER_SITE_DMA", None)
 
 import jax
 
@@ -131,15 +134,30 @@ def main():
                 q, k, v, k_pos, table
             )[0]
 
+        # v2 training-forward arm: BEVRENDER_SITE_DMA=2 swaps the fused
+        # forward to fused_site_call_v2_lse (read at trace time; each
+        # device_bench call traces its own fresh jit, and the fresh function
+        # object below gets its own cache entry)
+        def fwd_bwd_fused_v2(q, k, v, k_pos, table):
+            return jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+                q, k, v, k_pos, table
+            )[0]
+
         ms_xla = device_bench(fwd_bwd_xla, q, k, v, k_pos, table)
         ms_fused = device_bench(fwd_bwd_fused, q, k, v, k_pos, table)
+        os.environ["BEVRENDER_SITE_DMA"] = "2"
+        ms_fused_v2 = device_bench(fwd_bwd_fused_v2, q, k, v, k_pos, table)
+        os.environ.pop("BEVRENDER_SITE_DMA", None)
         out[name] = {
             "xla_consumer_fwdbwd_ms": round(ms_xla, 3),
             "fused_fwdbwd_ms": round(ms_fused, 3),
+            "fused_v2fwd_fwdbwd_ms": round(ms_fused_v2, 3),
             "speedup": round(ms_xla / ms_fused, 3),
+            "speedup_v2fwd": round(ms_xla / ms_fused_v2, 3),
         }
         print(f"{name}: xla {ms_xla:.3f} -> fused {ms_fused:.3f} ms "
-              f"({ms_xla / ms_fused:.2f}x)", flush=True)
+              f"({ms_xla / ms_fused:.2f}x), v2fwd {ms_fused_v2:.3f} ms",
+              flush=True)
 
     (ROOT / "SITE_BWD_BENCH.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out), flush=True)

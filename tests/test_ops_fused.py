@@ -367,6 +367,58 @@ class TestFusedLatticeBias:
         got = fused_site_call_v2(*args, H, W, Hpg, True, N, ch ** -0.5)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
+    def test_v2_lse_variant_matches_lse_kernel(self):
+        """The head-folded training forward (fused_site_call_v2 with_lse)
+        returns the same output AND logsumexp residual as the per-head
+        fused_site_call_lse — so BEVRENDER_SITE_DMA=2 composes with the fused
+        flash backward (which recomputes per-head from the lse). Also covers
+        the wide-site (Hpg*W > 128) fallback path."""
+        from bevrender_tpu.ops.deform_attn import _kernel_inputs
+        from bevrender_tpu.ops.pallas.fused_attn import (
+            fused_site_call_lse,
+            fused_site_call_v2_lse,
+        )
+
+        rng = np.random.default_rng(11)
+        for B, G, Hpg, H, W, N, ch in (
+            (1, 2, 2, 8, 8, 100, 4),    # NT=2, padded keys
+            (1, 1, 4, 8, 40, 80, 4),    # WH = 160 > 128: fallback path
+        ):
+            table = jnp.asarray(
+                rng.standard_normal((G, Hpg, 2 * H - 1, 2 * W * 4 - 1)),
+                jnp.float32,
+            )
+            k_pos = jnp.asarray(
+                rng.uniform(-0.95, 0.95, (B, G, N, 2)), jnp.float32
+            )
+            t3m, wy4, f4, shift4, packed, gcol, Np = _kernel_inputs(
+                table, k_pos, H, W
+            )
+            k = jnp.asarray(
+                rng.standard_normal((B, G, Hpg, Np, ch)), jnp.bfloat16
+            )
+            v = jnp.asarray(
+                rng.standard_normal((B, G, Hpg, Np, ch)), jnp.bfloat16
+            )
+            qcm = jnp.asarray(
+                rng.standard_normal((B, G, Hpg, ch, H * W)), jnp.bfloat16
+            )
+            args = (t3m, wy4, f4, shift4, packed, gcol, k, v, qcm)
+            ref_out, ref_lse = fused_site_call_lse(
+                *args, H, W, Hpg, True, N, ch ** -0.5
+            )
+            got_out, got_lse = fused_site_call_v2_lse(
+                *args, H, W, Hpg, True, N, ch ** -0.5
+            )
+            np.testing.assert_allclose(
+                np.asarray(ref_out), np.asarray(got_out),
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(ref_lse), np.asarray(got_lse),
+                rtol=1e-5, atol=1e-6,
+            )
+
     def test_bias_fwd_dma_variant_matches(self):
         """The DMA-prefetched bias forward (_fwd_kernel_dma, the training
         path's kernel behind BEVRENDER_BIAS_DMA=1) is bit-identical to the
@@ -515,3 +567,37 @@ class TestFusedSiteTrainBackward:
                     rtol=2e-2, atol=2e-2,
                     err_msg=f"{name} mismatch (B={B} G={G} ch={ch})",
                 )
+
+    def test_v2_forward_composes_with_fused_backward(self, monkeypatch):
+        """BEVRENDER_SITE_DMA=2 swaps the training forward to the head-folded
+        v2 kernel (fused_site_call_v2_lse); its lse residual must drive the
+        shared flash backward to the same gradients as the per-head forward."""
+        from bevrender_tpu.ops.deform_attn import fused_site_attention_train
+
+        B, G, Hpg, H, W, d, ch, seed = 1, 2, 2, 8, 8, 2, 4, 2
+        table, k_pos, H, W, N = _setup(B=B, G=G, Hpg=Hpg, H=H, W=W, d=d,
+                                       seed=seed)
+        q, k, v, q_pos = self._qkv(B, G, Hpg, H, W, N, ch, seed + 11)
+        scale = ch ** -0.5
+
+        def loss(q, k, v, k_pos, table):
+            out = fused_site_attention_train(
+                q, k, v, k_pos, table, H, W, scale, True
+            )
+            w = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)).reshape(
+                out.shape
+            )
+            return jnp.sum(out * w)
+
+        grad_fn = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+        monkeypatch.delenv("BEVRENDER_SITE_DMA", raising=False)
+        g_ref = grad_fn(q, k, v, k_pos, table)
+        monkeypatch.setenv("BEVRENDER_SITE_DMA", "2")
+        g_v2 = grad_fn(q, k, v, k_pos, table)
+        names = ("dq", "dk", "dv", "dk_pos", "dtable")
+        for name, a, b in zip(names, g_v2, g_ref):
+            scale_ref = float(np.max(np.abs(np.asarray(b)))) + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(a) / scale_ref, np.asarray(b) / scale_ref,
+                rtol=1e-4, atol=1e-5, err_msg=f"{name} mismatch",
+            )
