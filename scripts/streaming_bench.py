@@ -31,6 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+from bench import _apply_kernel_ab_defaults
 from bevrender_tpu.config import flagship_config
 from bevrender_tpu.data.dataset import SyntheticDataset
 from bevrender_tpu.inference.register import RegistrationPipeline
@@ -38,6 +39,9 @@ from bevrender_tpu.models.bevrender import BEVRenderModel
 
 
 def main() -> None:
+    # serving should run the measured-best kernel variants, same as the
+    # headline bench (trace-time env knobs; must be set before model build)
+    kernel_choices = _apply_kernel_ab_defaults()
     B = 4
     n_tiles = 64
     cfg = flagship_config()
@@ -101,6 +105,7 @@ def main() -> None:
                   "+register, B=4, 3 views",
         "ms_per_frame_batch": round(ms, 2),
         "frames_per_sec": round(fps, 3),
+        "kernel_autotune": kernel_choices or None,
         "note": "carried-BEV serving loop: one encoder pass per new frame "
                 "(full-window eval re-runs T=2 passes per frame; the "
                 "reference cannot stream at all)",
