@@ -366,6 +366,19 @@ def _apply_kernel_ab_defaults() -> dict:
         if flagship and all(v["speedup"] > 1.02 for v in flagship):
             os.environ.setdefault("BEVRENDER_FUSED_BWD", "1")
         choices["fused_bwd"] = os.environ.get("BEVRENDER_FUSED_BWD") == "1"
+        # training forward variant: decouple from the eval SITE_DMA knob
+        # when the v2-forward arm was measured (speedup_v2fwd)
+        v2arm = [v for v in flagship if "fused_v2fwd_fwdbwd_ms" in v]
+        if v2arm:
+            v2_wins = sum(v["fused_v2fwd_fwdbwd_ms"] for v in v2arm) < sum(
+                v["fused_fwdbwd_ms"] for v in v2arm
+            )
+            os.environ.setdefault(
+                "BEVRENDER_TRAIN_FWD_V2", "1" if v2_wins else "0"
+            )
+            choices["train_fwd_v2"] = (
+                os.environ.get("BEVRENDER_TRAIN_FWD_V2") == "1"
+            )
     except FileNotFoundError:
         pass
     except (json.JSONDecodeError, OSError, KeyError, TypeError) as e:

@@ -517,13 +517,19 @@ def _fused_site_train_fwd_impl(q, k, v, k_pos, rpe_table, H, W, scale,
         fused_site_call_v2_lse,
     )
 
-    # the training forward follows the eval site-variant knob: the v2
-    # head-folded kernel emits the same per-(head, query) lse residual, so
-    # the fused backward is variant-agnostic (trace-time, like eval)
+    # the training forward follows the eval site-variant knob by default
+    # (the v2 head-folded kernel emits the same per-(head, query) lse
+    # residual, so the fused backward is variant-agnostic), but
+    # BEVRENDER_TRAIN_FWD_V2=0/1 decouples it — training economics can
+    # differ (SITE_BWD_BENCH.json's speedup vs speedup_v2fwd); trace-time
+    # like the other knobs
+    v2_train = os.environ.get("BEVRENDER_TRAIN_FWD_V2")
+    if v2_train is None:
+        v2_train = (
+            "1" if os.environ.get("BEVRENDER_SITE_DMA", "") == "2" else "0"
+        )
     fwd_call = (
-        fused_site_call_v2_lse
-        if os.environ.get("BEVRENDER_SITE_DMA", "") == "2"
-        else fused_site_call_lse
+        fused_site_call_v2_lse if v2_train == "1" else fused_site_call_lse
     )
     N = k.shape[3]
     t3m, wy4, f4, shift4, packed, gcol, Np = _kernel_inputs(

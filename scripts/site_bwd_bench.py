@@ -30,6 +30,7 @@ sys.path.insert(0, str(ROOT))
 # leaked "2" would silently turn the "fused" arm into the v2 arm.
 os.environ.pop("BEVRENDER_FUSED_BWD", None)
 os.environ.pop("BEVRENDER_SITE_DMA", None)
+os.environ.pop("BEVRENDER_TRAIN_FWD_V2", None)
 
 import jax
 
