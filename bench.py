@@ -335,10 +335,17 @@ def _apply_kernel_ab_defaults() -> dict:
         shapes = [v for k, v in ab.items()
                   if isinstance(v, dict) and "plain_ms" in v]
         if shapes:
+            def tot(key):
+                # entries are null when a variant failed to compile on-chip
+                vals = [s.get(key) for s in shapes]
+                return sum(
+                    v if v is not None else float("inf") for v in vals
+                )
+
             total = {
-                "": sum(s["plain_ms"] for s in shapes),
-                "1": sum(s.get("dma_ms", float("inf")) for s in shapes),
-                "2": sum(s.get("v2_ms", float("inf")) for s in shapes),
+                "": tot("plain_ms"),
+                "1": tot("dma_ms"),
+                "2": tot("v2_ms"),
             }
             best = min(total, key=total.get)
             if best:
@@ -346,10 +353,8 @@ def _apply_kernel_ab_defaults() -> dict:
             choices["site_variant"] = {"": "plain", "1": "dma", "2": "v2"}[
                 os.environ.get("BEVRENDER_SITE_DMA", best)
             ]
-            bias_plain = sum(s.get("bias_plain_ms", 0.0) for s in shapes)
-            bias_dma = sum(
-                s.get("bias_dma_ms", float("inf")) for s in shapes
-            )
+            bias_plain = sum(s.get("bias_plain_ms") or 0.0 for s in shapes)
+            bias_dma = tot("bias_dma_ms")
             if 0.0 < bias_dma < bias_plain:
                 os.environ.setdefault("BEVRENDER_BIAS_DMA", "1")
             choices["bias_dma"] = os.environ.get("BEVRENDER_BIAS_DMA") == "1"

@@ -241,8 +241,15 @@ def lattice_shift_class(table_shape, k_pos, H: int, W: int) -> jax.Array:
 
 
 def _stage_table(table: jax.Array, u0, m_max: int, PAD: int, H: int,
-                 compute_dtype=jnp.bfloat16) -> jax.Array:
+                 compute_dtype=jnp.bfloat16, lane_to: int = 0) -> jax.Array:
     """Head-major rearranged table (G, m_max, Ypad, Hpg*W).
+
+    ``lane_to > 0`` pads the lane dim up to that width (a 128 multiple).
+    The DMA-prefetch kernel variants need it — Mosaic requires
+    ``make_async_copy`` slices to be 128-aligned along lanes — but it is
+    NOT free for the inline-extract kernels: measured +44% on the fused
+    site at the flagship shape (SITE_DMA_BENCH.json), so the default
+    (winning) path stages unpadded.
 
     Structurally LINEAR in ``table`` (cast + pad + static slices + stack +
     transpose), so the fused-site backward obtains d_table from d_t3m with
@@ -262,7 +269,8 @@ def _stage_table(table: jax.Array, u0, m_max: int, PAD: int, H: int,
     from bevrender_tpu.ops.pallas.lattice_bias import _h1al
 
     y_pad = (-Y % 8) + _h1al(H)
-    return jnp.pad(t3, ((0, 0), (0, 0), (0, y_pad), (0, 0)))
+    lane_pad = max(0, lane_to - Hpg * W)
+    return jnp.pad(t3, ((0, 0), (0, 0), (0, y_pad), (0, lane_pad)))
 
 
 def _stage_fracs(k_pos: jax.Array, table_shape, H: int, W: int, Np: int):
@@ -290,7 +298,14 @@ def _kernel_inputs(
     """Shared host-side staging for the Pallas lattice kernels: tile-padded
     per-key geometry, packed window starts, the head-major rearranged table
     and the per-lane comb. Returns (t3m, wy4, f4, shift4, packed, gcol, Np)
-    shaped for ``lattice_bias_fused`` / ``fused_site_call``."""
+    shaped for ``lattice_bias_fused`` / ``fused_site_call``.
+
+    When a DMA kernel variant is selected (BEVRENDER_SITE_DMA=1/2 or
+    BEVRENDER_BIAS_DMA=1 — trace-time knobs like the dispatch itself), the
+    table lanes are padded to 128 so ``make_async_copy`` window slices are
+    lane-aligned (Mosaic requirement)."""
+    import os
+
     G, Hpg, Ht, Wt = table.shape
     B, _, N, _ = k_pos.shape
     ys, ms, shift, wy, f, u0, g, m_max, PAD = _lattice_geometry(
@@ -305,9 +320,17 @@ def _kernel_inputs(
         shift = jnp.pad(shift, ((0, 0), (0, 0), (0, pad)))
     packed = ((ys << 16) | ms).reshape(B * G * Np)
 
-    t3m = _stage_table(table, u0, m_max, PAD, H, compute_dtype)
+    dma_selected = (
+        os.environ.get("BEVRENDER_SITE_DMA") in ("1", "2")
+        or os.environ.get("BEVRENDER_BIAS_DMA") == "1"
+    )
+    lane_to = -(-(Hpg * W) // 128) * 128 if dma_selected else 0
+    t3m = _stage_table(table, u0, m_max, PAD, H, compute_dtype, lane_to)
     wy4, f4 = _stage_fracs(k_pos, table.shape, H, W, Np)
-    gcol = jnp.asarray(np.tile(g, Hpg)).reshape(1, Hpg * W)
+    # lane comb padded like the staged table (pad lanes read zeros)
+    gflat = np.zeros(t3m.shape[3], np.float32)
+    gflat[: Hpg * W] = np.tile(g, Hpg)
+    gcol = jnp.asarray(gflat).reshape(1, t3m.shape[3])
     return (
         t3m,
         wy4,
@@ -584,7 +607,9 @@ def _fused_site_train_bwd(H, W, scale, interpret, res, g):
     u0, _, m_max, PAD = _static_comb(rpe_table.shape, W)
     Np = kp.shape[3]
     (dtable,) = jax.linear_transpose(
-        lambda tb: _stage_table(tb, u0, m_max, PAD, H), rpe_table
+        # lane_to mirrors whatever width the forward staged (t3m carries it)
+        lambda tb: _stage_table(tb, u0, m_max, PAD, H, lane_to=t3m.shape[3]),
+        rpe_table,
     )(dt3.astype(t3m.dtype))
     _, frac_vjp = jax.vjp(
         lambda kpos: _stage_fracs(kpos, rpe_table.shape, H, W, Np), k_pos

@@ -477,7 +477,9 @@ def _site_v2_body(
         rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
         if valid is not None:
             rowv = jnp.where(valid, rowv, -1e30)
-        sblk[:, iy * 128 : iy * 128 + WH] = rowv
+        # xres lanes are padded to 128 (deform_attn._stage_table); only the
+        # logical Hpg*W columns carry bias — pad columns keep their -1e30
+        sblk[:, iy * 128 : iy * 128 + WH] = rowv[:, :WH]
 
     kblk = kb_ref[0, 0].astype(jnp.bfloat16)   # (TN, HC)
     qblk = qb_ref[0, 0].astype(jnp.bfloat16)   # (HC, Mbig)

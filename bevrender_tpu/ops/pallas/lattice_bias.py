@@ -255,14 +255,20 @@ def _bias_cotangent_tail(
     right = jnp.where(cb, w2, w1)
 
     # ---- transposed y-mix: d_xres and d_wy ----
+    # the cotangent rows are Hpg*W wide while the scratch lanes are padded to
+    # 128 (see deform_attn._stage_table); pad lanes of dxres stay zero, so the
+    # transposed x-mix/scatter below add exact zeros there (table pad lanes
+    # are zero, so no NaN can leak in via 0 * garbage)
     dxres[...] = jnp.zeros(dxres.shape, dxres.dtype)
     dwy_acc = jnp.zeros((TN, 1), jnp.float32)
     for iy in range(H):
-        grow = grow_row(iy)  # (TN, WH)
-        dxres[:, iy, :] += (1.0 - wy) * grow
-        dxres[:, iy + 1, :] += wy * grow
+        grow = grow_row(iy)  # (TN, WHg), WHg = Hpg*W <= lane width
+        wg = grow.shape[-1]
+        dxres[:, iy, :wg] += (1.0 - wy) * grow
+        dxres[:, iy + 1, :wg] += wy * grow
         dwy_acc += jnp.sum(
-            grow * (xres[:, iy + 1, :] - xres[:, iy, :]), axis=-1, keepdims=True
+            grow * (xres[:, iy + 1, :wg] - xres[:, iy, :wg]),
+            axis=-1, keepdims=True,
         )
     dwy_ref[0, 0] = dwy_acc
 

@@ -47,13 +47,17 @@ from bevrender_tpu.ops.deform_attn import (
 )
 
 
-def make_site(B, G, Hpg, H, W, N, ch, seed=0):
+def make_site(B, G, Hpg, H, W, N, ch, seed=0, wt=None):
+    """wt: table width — 2*W*depth - 1 for SCA (depth=5 at flagship),
+    2*W - 1 for TSA."""
     rng = np.random.default_rng(seed)
+    if wt is None:
+        wt = 2 * W * 5 - 1
     q = jnp.asarray(rng.standard_normal((B, G, Hpg, H * W, ch)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((B, G, Hpg, N, ch)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((B, G, Hpg, N, ch)), jnp.float32)
     table = jnp.asarray(
-        rng.standard_normal((G, Hpg, 2 * H - 1, 2 * W * 4 - 1)) * 0.1,
+        rng.standard_normal((G, Hpg, 2 * H - 1, wt)) * 0.1,
         jnp.float32,
     )
     k_pos = jnp.asarray(rng.uniform(-0.95, 0.95, (B, G, N, 2)), jnp.float32)
@@ -91,7 +95,9 @@ def main():
 
     # --- on-chip gradient parity at a small shape ---
     B, G, Hpg, H, W, N, ch = 1, 2, 2, 8, 8, 100, 4
-    q, k, v, k_pos, table, q_pos = make_site(B, G, Hpg, H, W, N, ch)
+    q, k, v, k_pos, table, q_pos = make_site(
+        B, G, Hpg, H, W, N, ch, wt=2 * 8 * 4 - 1
+    )
     scale = ch ** -0.5
     loss_xla, loss_fused = losses(H, W, scale, q_pos)
     ga = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4)))(
@@ -110,16 +116,16 @@ def main():
     print(f"on-chip grad parity: {errs}", flush=True)
 
     # --- flagship training shapes (B=2; g8/g4 SCA + g8 TSA) ---
-    for name, (B, G, Hpg, H, W, N, ch) in {
-        "g8_sca_B2": (2, 8, 2, 28, 28, 1568, 4),
-        "g4_sca_B2": (2, 4, 2, 28, 28, 1568, 8),
-        "g8_tsa_B2": (2, 8, 2, 28, 28, 784, 4),
+    for name, (B, G, Hpg, H, W, N, ch, wt) in {
+        "g8_sca_B2": (2, 8, 2, 28, 28, 1960, 4, 2 * 28 * 5 - 1),
+        "g4_sca_B2": (2, 4, 2, 28, 28, 1960, 8, 2 * 28 * 5 - 1),
+        "g8_tsa_B2": (2, 8, 2, 28, 28, 784, 4, 2 * 28 - 1),
         # above the eval ch<=8 fusion crossover: the backward's economics
         # differ (it saves the consumer's full fwd+bwd, not just the fwd),
         # so measure whether fusion should gate wider in training
-        "g2_sca_B2_ch16": (2, 2, 2, 28, 28, 1568, 16),
+        "g2_sca_B2_ch16": (2, 2, 2, 28, 28, 1960, 16, 2 * 28 * 5 - 1),
     }.items():
-        q, k, v, k_pos, table, q_pos = make_site(B, G, Hpg, H, W, N, ch)
+        q, k, v, k_pos, table, q_pos = make_site(B, G, Hpg, H, W, N, ch, wt=wt)
         scale = ch ** -0.5
         loss_xla, loss_fused = losses(H, W, scale, q_pos)
 

@@ -238,10 +238,12 @@ def ablate_call(
     )(packed2, t3m, wy, f, shift, gcol, k, v, qcm)
 
 
-def make_inputs(B, G, Hpg, H, W, N, ch, seed=0):
+def make_inputs(B, G, Hpg, H, W, N, ch, seed=0, wt=None):
     rng = np.random.default_rng(seed)
+    if wt is None:
+        wt = 2 * W * 5 - 1  # SCA table width at flagship depth 5
     table = jnp.asarray(
-        rng.standard_normal((G, Hpg, 2 * H - 1, 2 * W * 4 - 1)), jnp.float32
+        rng.standard_normal((G, Hpg, 2 * H - 1, wt)), jnp.float32
     )
     # in-bounds normalized key positions (y, x)
     k_pos = jnp.asarray(
@@ -293,8 +295,9 @@ def main():
         # tiny shapes for the interpreter
         B, G, Hpg, H, W, N, ch = 1, 2, 2, 8, 8, 64, 4
     else:
-        # flagship g8 stage shapes (EVAL_ATTRIBUTION.json g8_h16)
-        B, G, Hpg, H, W, N, ch = 4, 8, 2, 28, 28, 1568, 8
+        # flagship g8 SCA shapes (EVAL_ATTRIBUTION.json g8_h16; ch = C/heads
+        # = 64/16 = 4, N = 14*28*5 = 1960)
+        B, G, Hpg, H, W, N, ch = 4, 8, 2, 28, 28, 1960, 4
 
     ins = make_inputs(B, G, Hpg, H, W, N, ch)
     t3m, wy4, f4, shift4, packed, gcol, k, v, qcm, Np = ins
