@@ -299,11 +299,20 @@ class SCADeformableAttention(nn.Module):
         proj_k = Dense(C, name="proj_k")
         proj_v = Dense(C, name="proj_v")
 
-        view_outputs = []
-        for view in range(self.n_views):
-            # --- per-view offset head (cf. conv_offset_m{view},
-            # SCA_deform_attn.py:56-121; see module docstring for the
-            # shape-consistent redesign) ---
+        # --- per-view offset heads (cf. conv_offset_m{view},
+        # SCA_deform_attn.py:56-121; see module docstring for the
+        # shape-consistent redesign). Params stay per-view.
+        # BEVRENDER_FOLD_VIEWS=1 (trace-time A/B knob) batches all views
+        # into ONE site call (B-major fold, GSPMD-contiguous); measured
+        # SLOWER on v5e at every flagship stage (g8 0.94x, g4 0.96x,
+        # g1 0.81x vs the loop — the per-view calls pipeline better), so
+        # the per-view loop is the default. ---
+        import os
+
+        fold_views = os.environ.get("BEVRENDER_FOLD_VIEWS") == "1"
+        V = self.n_views
+        view_pos = []
+        for view in range(V):
             off = Conv(
                 Cg * d,
                 (1, 1),
@@ -334,45 +343,95 @@ class SCADeformableAttention(nn.Module):
                 pos = off + ref[None]
             else:
                 pos = jnp.clip(off + ref[None], -1.0, 1.0)
+            view_pos.append(pos.reshape(B, G, N, 2))
+
+        table_shape = (G, Hpg, 2 * H - 1, 2 * W * d - 1)
+        attn_kwargs = dict(
+            scale=ch**-0.5,
+            chunk=self.chunk,
+            lattice_hw=(H, W),
+            lattice_kernel=self.use_pallas,
+            # fused site only at eval (see TSA note / ops/deform_attn.py)
+            fuse_site=deterministic,
+            dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
+        )
+        use_dropout = self.attn_drop_rate > 0.0 and not deterministic
+
+        if fold_views:
+            # (B, V, G, N, 2) -> (B*V, G, N, 2): one site call for all views
+            pos = jnp.stack(view_pos, axis=1).reshape(B * V, G, N, 2)
             if self.use_pallas:
                 pos = _sort_keys_by_shift(
-                    pos, B, G, N, (G, Hpg, 2 * H - 1, 2 * W * d - 1), H, W
-                )
+                    pos, B * V, G, N, table_shape, H, W
+                ).reshape(B * V, G, N, 2)
 
-            # --- K/V gather from this view (SCA_deform_attn.py:290-301) ---
-            feat = img_feat[:, view]  # (B, Hi, Wi, C)
-            Hi, Wi = feat.shape[1], feat.shape[2]
-            fg = feat.reshape(B, Hi, Wi, G, Cg).transpose(0, 3, 1, 2, 4)
-            fg = fg.reshape(B * G, Hi, Wi, Cg)
+            # --- K/V gather, all views (SCA_deform_attn.py:290-301) ---
+            Hi, Wi = img_feat.shape[2], img_feat.shape[3]
+            fg = img_feat.reshape(B * V, Hi, Wi, G, Cg)
+            fg = fg.transpose(0, 3, 1, 2, 4).reshape(B * V * G, Hi, Wi, Cg)
             # matmul-form sampling (see TSA note; gathers serialize on TPU)
-            kv = grid_sample_2d_mm(fg, pos[..., ::-1]).astype(feat.dtype)
-            kv = kv.reshape(B, G, N, Cg).transpose(0, 2, 1, 3).reshape(B, N, C)
+            kv = grid_sample_2d_mm(
+                fg, pos.reshape(B * V * G, N, 2)[..., ::-1]
+            ).astype(img_feat.dtype)
+            kv = kv.reshape(B * V, G, N, Cg).transpose(0, 2, 1, 3)
+            kv = kv.reshape(B * V, N, C)
             k = proj_k(kv)
             v = proj_v(kv)
 
+            q5 = _split_heads(q_flat, G, Hpg)  # (B, G, Hpg, M, ch)
+            q_rep = jnp.broadcast_to(
+                q5[:, None], (B, V) + q5.shape[1:]
+            ).reshape(B * V, G, Hpg, H * W, ch)
             out = streamed_deform_attention(
-                _shard_heads(_split_heads(q_flat, G, Hpg)),
+                _shard_heads(q_rep),
                 _shard_heads(_split_heads(k, G, Hpg)),
                 _shard_heads(_split_heads(v, G, Hpg)),
                 q_pos,
-                pos.reshape(B, G, N, 2),
+                pos,
                 rpe,
-                scale=ch**-0.5,
-                chunk=self.chunk,
-                lattice_hw=(H, W),
-                lattice_kernel=self.use_pallas,
-                # fused site only at eval (see TSA note / ops/deform_attn.py)
-                fuse_site=deterministic,
-                dropout_rate=self.attn_drop_rate if not deterministic else 0.0,
-                dropout_rng=(
-                    self.make_rng("dropout")
-                    if (self.attn_drop_rate > 0.0 and not deterministic)
-                    else None
-                ),
+                # one dropout rng for the folded call (the unfolded loop drew
+                # one per view; both are valid iid dropout)
+                dropout_rng=self.make_rng("dropout") if use_dropout else None,
+                **attn_kwargs,
             )
-            view_outputs.append(_merge_heads(out).reshape(B, H, W, C))
+            out = _merge_heads(out)  # (B*V, M, C)
+            out = out.reshape(B, V, H, W, C).transpose(0, 2, 3, 1, 4)
+            out = out.reshape(B, H, W, V * C)
+        else:
+            view_outputs = []
+            for view in range(V):
+                pos = view_pos[view].reshape(B * G, N, 2)
+                if self.use_pallas:
+                    pos = _sort_keys_by_shift(
+                        pos, B, G, N, table_shape, H, W
+                    )
 
-        out = jnp.concatenate(view_outputs, axis=-1)  # (B, H, W, V*C)
+                # --- K/V gather from this view ---
+                feat = img_feat[:, view]  # (B, Hi, Wi, C)
+                Hi, Wi = feat.shape[1], feat.shape[2]
+                fg = feat.reshape(B, Hi, Wi, G, Cg).transpose(0, 3, 1, 2, 4)
+                fg = fg.reshape(B * G, Hi, Wi, Cg)
+                kv = grid_sample_2d_mm(fg, pos[..., ::-1]).astype(feat.dtype)
+                kv = kv.reshape(B, G, N, Cg).transpose(0, 2, 1, 3)
+                kv = kv.reshape(B, N, C)
+                k = proj_k(kv)
+                v = proj_v(kv)
+
+                out = streamed_deform_attention(
+                    _shard_heads(_split_heads(q_flat, G, Hpg)),
+                    _shard_heads(_split_heads(k, G, Hpg)),
+                    _shard_heads(_split_heads(v, G, Hpg)),
+                    q_pos,
+                    pos.reshape(B, G, N, 2),
+                    rpe,
+                    dropout_rng=(
+                        self.make_rng("dropout") if use_dropout else None
+                    ),
+                    **attn_kwargs,
+                )
+                view_outputs.append(_merge_heads(out).reshape(B, H, W, C))
+            out = jnp.concatenate(view_outputs, axis=-1)  # (B, H, W, V*C)
+
         out = Dense(C, name="proj_out")(out)
         out = nn.Dropout(self.proj_drop_rate, deterministic=deterministic)(out)
         return out

@@ -356,8 +356,8 @@ def fused_site_call_dma(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, TN, 3, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), jnp.float32),  # xin: f32 avoids per-stage converts
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),  # xres: f32 avoids per-stage converts
             pltpu.VMEM((Hpg, TN, M), jnp.float32),
             pltpu.VMEM((Hpg, M), jnp.float32),
             pltpu.VMEM((Hpg, M), jnp.float32),
@@ -652,8 +652,8 @@ def fused_site_call_v2(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, TN, 3, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), jnp.float32),  # xin: f32 avoids per-stage converts
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),  # xres: f32 avoids per-stage converts
             pltpu.VMEM((TN, Mbig), jnp.float32),
             pltpu.VMEM((1, Mbig), jnp.float32),
             pltpu.VMEM((1, Mbig), jnp.float32),
@@ -760,8 +760,8 @@ def _fused_site_pallas_call(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), jnp.float32),  # xin: f32 avoids per-stage converts
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),  # xres: f32 avoids per-stage converts
             pltpu.VMEM((Hpg, TN, M), jnp.float32),
             pltpu.VMEM((Hpg, M), jnp.float32),
             pltpu.VMEM((Hpg, M), jnp.float32),
@@ -1020,8 +1020,8 @@ def site_bwd_call(
         ],
         scratch_shapes=[
             pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), jnp.float32),  # xin: f32 avoids per-stage converts
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),  # xres: f32 avoids per-stage converts
             pltpu.VMEM((Hpg, TN, M), jnp.float32),
             pltpu.VMEM((Hpg, ch, M), jnp.float32),
             pltpu.VMEM((TN, H + 1, WH), jnp.float32),

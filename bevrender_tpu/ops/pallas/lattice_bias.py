@@ -58,6 +58,8 @@ def _fill_xres(
     Fills ``xres`` (TN, H+1, WH) with the x-interpolated, shift-aligned
     windows for this key tile; the caller finishes with the y-mix.
     """
+    import os
+
     H1AL = _h1al(H)
     TN = win.shape[0]
 
@@ -69,7 +71,14 @@ def _fill_xres(
         win[i] = t3_ref[0, pl.ds(ms, 3), pl.ds(ys8, H1AL), :]
         return c
 
-    jax.lax.fori_loop(0, TN, extract, 0)
+    if os.environ.get("BEVRENDER_EXTRACT_UNROLL", "1") != "0":
+        # fully unrolled window copies (default; trace-time knob): drops the
+        # fori_loop's per-iteration branch/induction overhead — measured
+        # 8.12 -> 6.90 ms on the flagship g8 site (SITE_STAGE_BENCH.json)
+        for i in range(TN):
+            extract(i, 0)
+    else:
+        jax.lax.fori_loop(0, TN, extract, 0)
     return _mix_resolve(f_ref, shift_ref, gcol_ref, win, xin, xres, H)
 
 
@@ -309,7 +318,14 @@ def _bias_cotangent_tail(
         dt3_ref[0, pl.ds(ms, 3), pl.ds(ys8, H1AL), :] = blk + dwin[i]
         return c
 
-    jax.lax.fori_loop(0, TN, scatter, 0)
+    import os
+
+    if os.environ.get("BEVRENDER_EXTRACT_UNROLL", "1") != "0":
+        # unrolled like the forward extract (sequential RMW order preserved)
+        for i in range(TN):
+            scatter(i, 0)
+    else:
+        jax.lax.fori_loop(0, TN, scatter, 0)
 
 
 def _bwd_kernel(
@@ -459,8 +475,8 @@ def _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret,
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, TN, 3, H1AL, WH), t3m.dtype),
-                pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
-                pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+                pltpu.VMEM((TN, H1AL, WH), jnp.float32),  # xin: f32 avoids per-stage converts
+                pltpu.VMEM((TN, H + 1, WH), jnp.float32),  # xres: f32 avoids per-stage converts
                 pltpu.SemaphoreType.DMA,
             ],
             out_shape=jax.ShapeDtypeStruct((B, G, Hpg, Np, M), t3m.dtype),
@@ -494,8 +510,8 @@ def _fwd_call(t3m, wy, f, shift, packed, gcol, H, W, Hpg, interpret,
         ),
         scratch_shapes=[
             pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), jnp.float32),  # xin: f32 avoids per-stage converts
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),  # xres: f32 avoids per-stage converts
         ],
         out_shape=jax.ShapeDtypeStruct((B, G, Hpg, Np, M), t3m.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -572,8 +588,8 @@ def _bwd_call(t3m, wy, f, shift, packed, gcol, g_out, H, W, Hpg, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), jnp.float32),  # xin: f32 avoids per-stage converts
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),  # xres: f32 avoids per-stage converts
             pltpu.VMEM((TN, H + 1, WH), jnp.float32),
             pltpu.VMEM((TN, H1AL, WH), jnp.float32),
             pltpu.VMEM((TN, 3, H1AL, WH), jnp.float32),

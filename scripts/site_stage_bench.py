@@ -223,8 +223,8 @@ def ablate_call(
         ),
         scratch_shapes=[
             pltpu.VMEM((TN, 3, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H1AL, WH), t3m.dtype),
-            pltpu.VMEM((TN, H + 1, WH), t3m.dtype),
+            pltpu.VMEM((TN, H1AL, WH), jnp.float32),  # xin (as production)
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),  # xres (as production)
             pltpu.VMEM((Hpg, TN, M), jnp.float32),
             pltpu.VMEM((Hpg, M), jnp.float32),
             pltpu.VMEM((Hpg, M), jnp.float32),

@@ -10,6 +10,11 @@ re-selects the host platform, and the CPU client is created lazily, so setting
 
 import os
 
+# interpret-mode kernels execute the same math rolled or unrolled; the
+# unrolled default (a Mosaic scheduling win on the chip) only slows the
+# CPU interpreter down (7 min vs 3 min for test_ops_fused)
+os.environ.setdefault("BEVRENDER_EXTRACT_UNROLL", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -150,6 +150,47 @@ class TestAttentionModules:
         out2 = mod.apply(var, q, feat[:, ::-1], ref)
         assert float(jnp.abs(out - out2).max()) > 1e-6
 
+    def test_sca_folded_views_match_per_view_loop(self):
+        """BEVRENDER_FOLD_VIEWS=1 (default: one batched site call for all
+        views) must reproduce the per-view loop. Forward is bit-identical;
+        the rpe-table gradient is a large bf16 scatter-sum whose reduction
+        order changes with the fold, so it gets a relative tolerance."""
+        import os
+
+        V, H, C, d = 3, 8, 16, 2
+        mod = SCADeformableAttention(dim=C, n_heads=4, n_groups=2,
+                                     bev_depth_dim=d, n_views=V, chunk=16)
+        q = _r(20, (2, H, H, C))
+        feat = _r(21, (2, V, 12, 16, C))
+        ref = jnp.tanh(_r(22, (V, H // 2, H * d, 2)))
+
+        def loss(p):
+            return jnp.sum(mod.apply(p, q, feat, ref, deterministic=False) ** 2)
+
+        prev = os.environ.get("BEVRENDER_FOLD_VIEWS")
+        try:
+            os.environ["BEVRENDER_FOLD_VIEWS"] = "0"
+            var = mod.init(jax.random.PRNGKey(0), q, feat, ref)
+            a = mod.apply(var, q, feat, ref, deterministic=True)
+            ga = jax.grad(loss)(var)
+            os.environ["BEVRENDER_FOLD_VIEWS"] = "1"
+            b = mod.apply(var, q, feat, ref, deterministic=True)
+            gb = jax.grad(loss)(var)
+        finally:
+            if prev is None:
+                os.environ.pop("BEVRENDER_FOLD_VIEWS", None)
+            else:
+                os.environ["BEVRENDER_FOLD_VIEWS"] = prev
+
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for (path, x), (_, y) in zip(
+            jax.tree_util.tree_flatten_with_path(ga)[0],
+            jax.tree_util.tree_flatten_with_path(gb)[0],
+        ):
+            rel = float(jnp.max(jnp.abs(x - y)) / (jnp.max(jnp.abs(x)) + 1e-12))
+            tol = 2e-2 if "rpe_table" in str(path) else 1e-4
+            assert rel < tol, (path, rel)
+
 
 class TestBackbones:
     def test_patch_projection_scale(self):
