@@ -66,12 +66,20 @@ def _sort_keys_by_shift(pos, B, G, N, table_shape, H, W):
     they stay aligned with the positions; gradients flow back through the
     take_along_axis scatter.
 
+    The shift-replicated kernels (deform_attn.use_shift_replica) have no
+    resolve stage at all, so the sort is skipped entirely there — key order
+    is irrelevant to an always-aligned extraction.
+
     BEVRENDER_SHIFT_SORT=count swaps the argsort for a counting-rank scatter
     (same stable order; read at trace time — an A/B knob for benching).
     """
     import os
 
+    from bevrender_tpu.ops.deform_attn import use_shift_replica
+
     flat = pos.reshape(B, G, N, 2)
+    if use_shift_replica(table_shape, H, W):
+        return flat.reshape(B * G, N, 2)
     cls = lattice_shift_class(table_shape, flat, H, W)
     if os.environ.get("BEVRENDER_SHIFT_SORT") == "count":
         rank = _counting_rank8(cls)

@@ -273,6 +273,118 @@ def _stage_table(table: jax.Array, u0, m_max: int, PAD: int, H: int,
     return jnp.pad(t3, ((0, 0), (0, 0), (0, y_pad), (0, lane_pad)))
 
 
+def _h1als(H: int) -> int:
+    """Aligned rows for the shift-replicated staging: just the H+1 lerp rows
+    (each replica is pre-shifted, so windows start 8-aligned with no slack)."""
+    return -(-(H + 1) // 8) * 8
+
+
+def _shift_geom(table_shape, H: int, W: int):
+    """Static geometry of the shift-replicated staging: (m_max, H1ALS, Yp2,
+    block_bytes). ``block_bytes`` is the per-group VMEM footprint of the
+    replicated table block (bf16), the fallback criterion for wide sites."""
+    G, Hpg, Ht, Wt = table_shape
+    _, _, m_max, PAD = _static_comb(table_shape, W)
+    H1ALS = _h1als(H)
+    max_ys = Ht + 2 * PAD - (H + 1)
+    Yp2 = (max_ys // 8) * 8 + H1ALS
+    block_bytes = 8 * m_max * Yp2 * Hpg * W * 2
+    return m_max, H1ALS, Yp2, block_bytes
+
+
+# per-group table blocks above this use the resolve-kernel path: the
+# 8-replica block (x2 for Pallas double buffering) must fit VMEM with room
+# for the kernel scratches (v5e VMEM is 128 MB physical, 100 MB declared)
+_SHIFT_REPLICA_MAX_BLOCK = 12 * 1024 * 1024
+
+
+def use_shift_replica(table_shape, H: int, W: int) -> bool:
+    """Whether the lattice kernels use the shift-replicated staging (one
+    pre-shifted table copy per sublane phase): extraction is then always
+    8-aligned and the per-class shift resolve — and the callers' key sort —
+    disappear entirely. Costs 8x the staged-table HBM/VMEM, so wide sites
+    (pyramid stages) fall back to the resolve kernel.
+
+    BEVRENDER_SHIFT_REPLICA=0/1 forces the choice (trace-time, like the
+    other kernel knobs). The DMA variants only exist for the resolve layout.
+    """
+    import os
+
+    env = os.environ.get("BEVRENDER_SHIFT_REPLICA")
+    if env == "0":
+        return False
+    if os.environ.get("BEVRENDER_SITE_DMA") in ("1", "2") or (
+        os.environ.get("BEVRENDER_BIAS_DMA") == "1"
+    ):
+        return False
+    if env == "1":
+        return True
+    return _shift_geom(table_shape, H, W)[3] <= _SHIFT_REPLICA_MAX_BLOCK
+
+
+def _stage_table_shifted(table: jax.Array, u0, m_max: int, PAD: int, H: int,
+                         compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Shift-replicated staged table (G, 8*m_max, Yp2, Hpg*W): replica s
+    holds the rearranged table with rows advanced by s, so a key with window
+    start ``ys = ys8 + s`` reads rows ``ys8 : ys8 + H1ALS`` of replica s —
+    an 8-aligned start with exactly the H+1 lerp rows, no resolve needed.
+
+    Structurally LINEAR in ``table`` (autodiff transposes it into the
+    replica-summed table gradient)."""
+    G, Hpg, Ht, Wt = table.shape
+    W = len(u0)
+    Y = Ht + 2 * PAD
+    _, H1ALS, Yp2, _ = _shift_geom(table.shape, H, W)
+    tail = max(0, Yp2 + 7 - Y)
+    Tp = jnp.pad(
+        table.astype(compute_dtype),
+        ((0, 0), (0, 0), (PAD, PAD + tail), (PAD, max(PAD, m_max))),
+    )
+    t3 = jnp.stack(
+        [Tp[:, :, :, int(u0[ix]) : int(u0[ix]) + m_max] for ix in range(W)],
+        axis=3,
+    )  # (G, Hpg, Y+tail, W, m_max)
+    t3 = jnp.transpose(t3, (0, 4, 2, 1, 3)).reshape(
+        G, m_max, Y + tail, Hpg * W
+    )
+    t3s = jnp.stack(
+        [t3[:, :, s : s + Yp2, :] for s in range(8)], axis=1
+    )  # (G, 8, m_max, Yp2, WH)
+    return t3s.reshape(G, 8 * m_max, Yp2, Hpg * W)
+
+
+def _kernel_inputs_sh(
+    table: jax.Array,  # (G, Hpg, Ht, Wt)
+    k_pos: jax.Array,  # (B, G, N, 2)
+    H: int,
+    W: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """Staging for the shift-replicated lattice kernels. Returns
+    (t3s, wy4, f4, packed, gcol, Np) where packed = ys8 << 16 | (s*m_max+ms)
+    indexes the replicated table directly (no shift array, no key sort)."""
+    G, Hpg, Ht, Wt = table.shape
+    B, _, N, _ = k_pos.shape
+    ys, ms, shift, wy, f, u0, g, m_max, PAD = _lattice_geometry(
+        table.shape, k_pos, H, W
+    )
+    TN = 64
+    Np = -(-N // TN) * TN
+    pad = Np - N
+    if pad:
+        ys = jnp.pad(ys, ((0, 0), (0, 0), (0, pad)))
+        ms = jnp.pad(ms, ((0, 0), (0, 0), (0, pad)))
+        shift = jnp.pad(shift, ((0, 0), (0, 0), (0, pad)))
+    ys8 = ys - shift  # == (ys // 8) * 8
+    msr = shift * m_max + ms
+    packed = ((ys8 << 16) | msr).reshape(B * G * Np)
+
+    t3s = _stage_table_shifted(table, u0, m_max, PAD, H, compute_dtype)
+    wy4, f4 = _stage_fracs(k_pos, table.shape, H, W, Np)
+    gcol = jnp.asarray(np.tile(g, Hpg)).reshape(1, Hpg * W)
+    return t3s, wy4, f4, packed, gcol, Np
+
+
 def _stage_fracs(k_pos: jax.Array, table_shape, H: int, W: int, Np: int):
     """Tile-padded per-key bilinear fractions (wy4, f4) — the only staging
     outputs through which ``k_pos`` receives gradient (integer starts carry
@@ -365,6 +477,19 @@ def _lattice_bias_nm(
         bias = _lattice_bias(table, k_pos, H, W, compute_dtype, False)
         return jnp.swapaxes(bias, -1, -2), N
 
+    if use_shift_replica(table.shape, H, W):
+        from bevrender_tpu.ops.pallas.lattice_bias import (
+            lattice_bias_fused_sh,
+        )
+
+        t3s, wy4, f4, packed, gcol, Np = _kernel_inputs_sh(
+            table, k_pos, H, W, compute_dtype
+        )
+        bias = lattice_bias_fused_sh(
+            t3s, wy4, f4, packed, gcol, H, W, Hpg, interpret, N
+        )
+        return bias, N
+
     from bevrender_tpu.ops.pallas.lattice_bias import lattice_bias_fused
 
     t3m, wy4, f4, shift4, packed, gcol, Np = _kernel_inputs(
@@ -449,21 +574,39 @@ def _fused_site_impl(q, k, v, k_pos, rpe_table, H, W, scale, interpret):
     from bevrender_tpu.ops.pallas.fused_attn import (
         fused_site_call,
         fused_site_call_dma,
+        fused_site_call_sh,
         fused_site_call_v2,
     )
 
     B, G, Hpg, M, ch = q.shape
     N = k.shape[3]
+
+    def padded_kv(Np):
+        if Np == N:
+            return k, v
+        padn = Np - N
+        return (
+            jnp.pad(k, ((0, 0),) * 3 + ((0, padn), (0, 0))),
+            jnp.pad(v, ((0, 0),) * 3 + ((0, padn), (0, 0))),
+        )
+
+    qcm = jnp.swapaxes(q, -1, -2)  # (B, G, Hpg, ch, M): queries on lanes
+
+    if use_shift_replica(rpe_table.shape, H, W):
+        t3s, wy4, f4, packed, gcol, Np = _kernel_inputs_sh(
+            rpe_table, k_pos, H, W
+        )
+        kp, vp = padded_kv(Np)
+        out_cm = fused_site_call_sh(
+            t3s, wy4, f4, packed, gcol, kp, vp, qcm,
+            H, W, Hpg, interpret, N, scale,
+        )
+        return jnp.swapaxes(out_cm, -1, -2)
+
     t3m, wy4, f4, shift4, packed, gcol, Np = _kernel_inputs(
         rpe_table, k_pos, H, W
     )
-    kp = k
-    vp = v
-    if Np != N:
-        padn = Np - N
-        kp = jnp.pad(k, ((0, 0),) * 3 + ((0, padn), (0, 0)))
-        vp = jnp.pad(v, ((0, 0),) * 3 + ((0, padn), (0, 0)))
-    qcm = jnp.swapaxes(q, -1, -2)  # (B, G, Hpg, ch, M): queries on lanes
+    kp, vp = padded_kv(Np)
     # BEVRENDER_SITE_DMA selects experimental site-kernel variants
     # (interpret-mode-identical math; see ops/pallas/fused_attn.py):
     # 1 = DMA-prefetched extraction, 2 = DMA + head-folded 128-pad layout.

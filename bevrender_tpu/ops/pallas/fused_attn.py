@@ -44,7 +44,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bevrender_tpu.ops.pallas.lattice_bias import _fill_xres, _h1al, _mix_resolve
+from bevrender_tpu.ops.pallas.lattice_bias import (
+    _fill_xres,
+    _fill_xres_sh,
+    _h1al,
+    _h1als,
+    _mix_resolve,
+)
 
 
 def _site_fwd_body(
@@ -1060,3 +1066,142 @@ def fused_site_call(
         t3m, wy, f, shift, packed, gcol, k, v, qcm, H, W, Hpg, interpret,
         nreal, scale, with_lse=False,
     )
+
+
+def _site_kernel_sh(
+    packed_ref,  # SMEM (8, TN) int32: ys8 << 16 | (s*m_max + ms)
+    t3_ref,      # VMEM (1, 8*m_max, Yp2, WH)
+    wy_ref, f_ref, gcol_ref,
+    k_ref,       # VMEM (1, 1, Hpg, TN, ch)
+    v_ref,       # VMEM (1, 1, Hpg, TN, ch)
+    q_ref,       # VMEM (1, 1, Hpg, ch, M)
+    out_ref,     # VMEM (1, 1, Hpg, ch, M) f32
+    win,         # scratch (TN, 3, H1ALS, WH) table-dtype
+    xres,        # scratch (TN, H+1, WH) f32
+    sblk, macc, lacc, oacc,
+    *,
+    H: int, W: int, Hpg: int, ch: int, TN: int, Np: int,
+    nreal: int, scale: float,
+):
+    """Fused attention site on the shift-replicated staging: aligned window
+    extraction + x-mix straight to the lerp rows (no resolve, no key sort),
+    then the same flash-style online softmax as :func:`_site_fwd_body`."""
+    NT = Np // TN
+    t = pl.program_id(1)
+    row = (pl.program_id(0) * NT + t) % 8
+    _fill_xres_sh(packed_ref, t3_ref, f_ref, gcol_ref, win, xres, row, H)
+
+    wy = wy_ref[0, 0]
+    if Np == nreal:
+        valid = None
+    else:
+        kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
+        valid = kid < nreal
+    for iy in range(H):
+        rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
+        if valid is not None:
+            rowv = jnp.where(valid, rowv, -1e30)
+        for h in range(Hpg):
+            sblk[h, :, iy * W : (iy + 1) * W] = rowv[:, h * W : (h + 1) * W]
+
+    @pl.when(t == 0)
+    def _():
+        macc[...] = jnp.full(macc.shape, -1e30, jnp.float32)
+        lacc[...] = jnp.zeros(lacc.shape, jnp.float32)
+        oacc[...] = jnp.zeros(oacc.shape, jnp.float32)
+
+    for h in range(Hpg):
+        kblk = k_ref[0, 0, h].astype(jnp.bfloat16)
+        qblk = q_ref[0, 0, h].astype(jnp.bfloat16)
+        qk = jax.lax.dot_general(
+            kblk, qblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = sblk[h] + scale * qk
+        mold = macc[h : h + 1, :]
+        mnew = jnp.maximum(mold, jnp.max(s, axis=0, keepdims=True))
+        p = jnp.exp(s - mnew)
+        alpha = jnp.exp(mold - mnew)
+        macc[h : h + 1, :] = mnew
+        lacc[h : h + 1, :] = lacc[h : h + 1, :] * alpha + jnp.sum(
+            p, axis=0, keepdims=True
+        )
+        vblk = v_ref[0, 0, h].astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            vblk, p.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        oacc[h] = oacc[h] * alpha + contrib
+
+    @pl.when(t == NT - 1)
+    def _():
+        lsafe = jnp.maximum(lacc[...], 1e-30)
+        for h in range(Hpg):
+            out_ref[0, 0, h] = (
+                oacc[h] / lsafe[h : h + 1, :]
+            ).astype(out_ref.dtype)
+
+
+def fused_site_call_sh(
+    t3s, wy, f, packed, gcol, k, v, qcm, H, W, Hpg, interpret, nreal, scale,
+):
+    """Fused attention site on the shift-replicated staging (eval path;
+    backward recomputes through the XLA consumer like ``fused_site_call``)."""
+    G, m8, Yp2, WH = t3s.shape
+    B, _, Np, _ = wy.shape
+    M = H * W
+    ch = k.shape[-1]
+    from bevrender_tpu.ops.pallas.lattice_bias import _tile_size
+
+    TN = _tile_size(Np)
+    H1ALS = _h1als(H)
+    NT = Np // TN
+    n_cells = B * G * NT
+    r8 = -(-n_cells // 8) * 8
+    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(
+            _site_kernel_sh, H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
+            nreal=nreal, scale=float(scale),
+        ),
+        grid=(B * G, NT),
+        in_specs=[
+            pl.BlockSpec((8, TN), lambda bg, t: ((bg * NT + t) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m8, Yp2, WH), lambda bg, t: (bg % G, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WH), lambda bg, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, ch),
+                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, ch, M),
+                         lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Hpg, ch, M),
+            lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TN, 3, H1ALS, WH), t3s.dtype),
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
+            pltpu.VMEM((Hpg, TN, M), jnp.float32),
+            pltpu.VMEM((Hpg, M), jnp.float32),
+            pltpu.VMEM((Hpg, M), jnp.float32),
+            pltpu.VMEM((Hpg, ch, M), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(packed2, t3s, wy, f, gcol, k, v, qcm)

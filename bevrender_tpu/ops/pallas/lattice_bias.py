@@ -610,3 +610,297 @@ def _bwd_call(t3m, wy, f, shift, packed, gcol, g_out, H, W, Hpg, interpret):
 
 
 lattice_bias_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Shift-replicated variant: the staged table holds one pre-shifted copy per
+# sublane phase (deform_attn._stage_table_shifted), so extraction is always
+# 8-aligned with exactly the H+1 lerp rows and the per-class shift resolve —
+# and the callers' key sort — disappear. Wide sites (pyramid) fall back to
+# the resolve kernels above (deform_attn.use_shift_replica).
+# ---------------------------------------------------------------------------
+
+
+def _h1als(H: int) -> int:
+    return -(-(H + 1) // 8) * 8
+
+
+def _fill_xres_sh(packed_ref, t3_ref, f_ref, gcol_ref, win, xres, row, H):
+    """Shift-replicated bias front-end: aligned window extraction + x-mix.
+
+    ``win`` is (TN, 3, H1ALS, WH); ``xres`` (TN, H+1, WH) f32 receives the
+    x-interpolated windows directly (replicas are pre-shifted, so rows
+    0..H+1 of the window ARE the lerp rows). Returns (wx, cb) for the
+    transposed mix in the backward."""
+    import os
+
+    H1ALS = _h1als(H)
+    TN = win.shape[0]
+
+    def extract(i, c):
+        packed = packed_ref[row, i]
+        ys8 = pl.multiple_of(packed >> 16, 8)
+        msr = packed & 0xFFFF
+        win[i] = t3_ref[0, pl.ds(msr, 3), pl.ds(ys8, H1ALS), :]
+        return c
+
+    if os.environ.get("BEVRENDER_EXTRACT_UNROLL", "1") != "0":
+        for i in range(TN):
+            extract(i, 0)
+    else:
+        jax.lax.fori_loop(0, TN, extract, 0)
+
+    f = f_ref[0, 0]  # (TN, 1)
+    phi = gcol_ref[...] + f  # (TN, WH)
+    cross = jnp.floor(phi)
+    wx = (phi - cross)[:, None, :]  # (TN, 1, WH)
+    cb = (cross > 0.5)[:, None, :]
+    w0 = win[:, 0, : H + 1].astype(jnp.float32)
+    w1 = win[:, 1, : H + 1].astype(jnp.float32)
+    w2 = win[:, 2, : H + 1].astype(jnp.float32)
+    left = jnp.where(cb, w1, w0)
+    right = jnp.where(cb, w2, w1)
+    xres[...] = ((1.0 - wx) * left + wx * right).astype(xres.dtype)
+    return wx, cb
+
+
+def _fwd_kernel_sh(
+    packed_ref,  # SMEM (8, TN) int32: ys8 << 16 | (s*m_max + ms)
+    t3_ref,      # VMEM (1, 8*m_max, Yp2, WH)
+    wy_ref, f_ref, gcol_ref,
+    out_ref,     # VMEM (1, 1, Hpg, TN, M)
+    win,         # scratch (TN, 3, H1ALS, WH) table-dtype
+    xres,        # scratch (TN, H+1, WH) f32
+    *,
+    H: int, W: int, Hpg: int, TN: int, Np: int, nreal: int,
+):
+    NT = Np // TN
+    t = pl.program_id(1)
+    row = (pl.program_id(0) * NT + t) % 8
+    _fill_xres_sh(packed_ref, t3_ref, f_ref, gcol_ref, win, xres, row, H)
+
+    wy = wy_ref[0, 0]  # (TN, 1)
+    if Np == nreal:
+        valid = None
+    else:
+        kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
+        valid = kid < nreal
+    for iy in range(H):
+        rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
+        if valid is not None:
+            rowv = jnp.where(valid, rowv, -1e30)
+        rowv = rowv.astype(out_ref.dtype)
+        for h in range(Hpg):
+            out_ref[0, 0, h, :, iy * W : (iy + 1) * W] = rowv[
+                :, h * W : (h + 1) * W
+            ]
+
+
+def _fwd_call_sh(t3s, wy, f, packed, gcol, H, W, Hpg, interpret, nreal=None):
+    G, m8, Yp2, WH = t3s.shape
+    B, _, Np, _ = wy.shape
+    if nreal is None:
+        nreal = Np
+    M = H * W
+    TN = _tile_size(Np)
+    H1ALS = _h1als(H)
+    NT = Np // TN
+    n_cells = B * G * NT
+    r8 = -(-n_cells // 8) * 8
+    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_sh, H=H, W=W, Hpg=Hpg, TN=TN, Np=Np,
+                          nreal=nreal),
+        grid=(B * G, NT),
+        in_specs=[
+            pl.BlockSpec((8, TN), lambda bg, t: ((bg * NT + t) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m8, Yp2, WH), lambda bg, t: (bg % G, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WH), lambda bg, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Hpg, TN, M),
+            lambda bg, t: (bg // G, bg % G, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TN, 3, H1ALS, WH), t3s.dtype),
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, G, Hpg, Np, M), t3s.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(packed2, t3s, wy, f, gcol)
+
+
+def _bwd_kernel_sh(
+    packed_ref,
+    t3_ref,      # VMEM (1, 8*m_max, Yp2, WH)
+    wy_ref, f_ref, gcol_ref,
+    gout_ref,    # VMEM (1, 1, Hpg, TN, M) cotangent
+    dt3_ref,     # VMEM out (1, 8*m_max, Yp2, WH) f32, resident per g
+    dwy_ref,     # VMEM out (1, 1, TN, 1) f32
+    df_ref,      # VMEM out (1, 1, TN, 1) f32
+    win, xres,
+    dxres,       # scratch (TN, H+1, WH) f32
+    dwin,        # scratch (TN, 3, H1ALS, WH) f32
+    *,
+    H: int, W: int, Hpg: int, TN: int, Np: int, G: int,
+):
+    """Transposed shift-replicated bias: y-mix^T -> x-mix^T -> aligned
+    scatter-add into the replicated dt3 block (no resolve transpose)."""
+    import os
+
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+    NT = Np // TN
+    row = ((b * G + g) * NT + t) % 8
+    H1ALS = _h1als(H)
+
+    @pl.when((b == 0) & (t == 0))
+    def _():
+        dt3_ref[...] = jnp.zeros(dt3_ref.shape, dt3_ref.dtype)
+
+    wx, cb = _fill_xres_sh(
+        packed_ref, t3_ref, f_ref, gcol_ref, win, xres, row, H
+    )
+
+    # ---- transposed y-mix: d_xres and d_wy ----
+    wy = wy_ref[0, 0]
+    dxres[...] = jnp.zeros(dxres.shape, dxres.dtype)
+    dwy_acc = jnp.zeros((TN, 1), jnp.float32)
+    for iy in range(H):
+        parts = []
+        for h in range(Hpg):
+            parts.append(
+                gout_ref[0, 0, h, :, iy * W : (iy + 1) * W].astype(jnp.float32)
+            )
+        grow = jnp.concatenate(parts, axis=-1)  # (TN, WH)
+        dxres[:, iy, :] += (1.0 - wy) * grow
+        dxres[:, iy + 1, :] += wy * grow
+        dwy_acc += jnp.sum(
+            grow * (xres[:, iy + 1, :] - xres[:, iy, :]), axis=-1,
+            keepdims=True,
+        )
+    dwy_ref[0, 0] = dwy_acc
+
+    # ---- transposed x-mix on the H+1 lerp rows ----
+    w0 = win[:, 0, : H + 1].astype(jnp.float32)
+    w1 = win[:, 1, : H + 1].astype(jnp.float32)
+    w2 = win[:, 2, : H + 1].astype(jnp.float32)
+    left = jnp.where(cb, w1, w0)
+    right = jnp.where(cb, w2, w1)
+    dx = dxres[...]
+    dleft = dx * (1.0 - wx)
+    dright = dx * wx
+    dphi = jnp.sum(dx * (right - left), axis=1)  # (TN, WH)
+    df_ref[0, 0] = jnp.sum(dphi, axis=-1, keepdims=True)
+    zero = jnp.zeros_like(dleft)
+    dwin[...] = jnp.zeros(dwin.shape, dwin.dtype)
+    dwin[:, 0, : H + 1] = jnp.where(cb, zero, dleft)
+    dwin[:, 1, : H + 1] = jnp.where(cb, dleft, dright)
+    dwin[:, 2, : H + 1] = jnp.where(cb, dright, zero)
+
+    def scatter(i, c):
+        packed = packed_ref[row, i]
+        ys8 = pl.multiple_of(packed >> 16, 8)
+        msr = packed & 0xFFFF
+        blk = dt3_ref[0, pl.ds(msr, 3), pl.ds(ys8, H1ALS), :]
+        dt3_ref[0, pl.ds(msr, 3), pl.ds(ys8, H1ALS), :] = blk + dwin[i]
+        return c
+
+    if os.environ.get("BEVRENDER_EXTRACT_UNROLL", "1") != "0":
+        for i in range(TN):
+            scatter(i, 0)
+    else:
+        jax.lax.fori_loop(0, TN, scatter, 0)
+
+
+def _bwd_call_sh(t3s, wy, f, packed, gcol, g_out, H, W, Hpg, interpret):
+    G, m8, Yp2, WH = t3s.shape
+    B, _, Np, _ = wy.shape
+    M = H * W
+    TN = min(_tile_size(Np), 64)
+    H1ALS = _h1als(H)
+    NT = Np // TN
+    n_cells = B * G * NT
+    r8 = -(-n_cells // 8) * 8
+    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_sh, H=H, W=W, Hpg=Hpg, TN=TN, Np=Np,
+                          G=G),
+        grid=(G, B, NT),
+        in_specs=[
+            pl.BlockSpec((8, TN),
+                         lambda g, b, t: (((b * G + g) * NT + t) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m8, Yp2, WH), lambda g, b, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WH), lambda g, b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Hpg, TN, M), lambda g, b, t: (b, g, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m8, Yp2, WH), lambda g, b, t: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda g, b, t: (b, g, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TN, 3, H1ALS, WH), t3s.dtype),
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
+            pltpu.VMEM((TN, H + 1, WH), jnp.float32),
+            pltpu.VMEM((TN, 3, H1ALS, WH), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, m8, Yp2, WH), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, Np, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(packed2, t3s, wy, f, gcol, g_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def lattice_bias_fused_sh(t3s, wy, f, packed, gcol, H, W, Hpg, interpret,
+                          nreal=None):
+    """Fused lattice rpe bias, shift-replicated staging (see
+    deform_attn._stage_table_shifted). Same contract as
+    :func:`lattice_bias_fused` minus the shift array."""
+    return _fwd_call_sh(t3s, wy, f, packed, gcol, H, W, Hpg, interpret, nreal)
+
+
+def _fused_fwd_sh(t3s, wy, f, packed, gcol, H, W, Hpg, interpret, nreal=None):
+    out = _fwd_call_sh(t3s, wy, f, packed, gcol, H, W, Hpg, interpret, nreal)
+    return out, (t3s, wy, f, packed, gcol)
+
+
+def _fused_bwd_sh(H, W, Hpg, interpret, nreal, res, g_out):
+    t3s, wy, f, packed, gcol = res
+    dt3, dwy, df = _bwd_call_sh(
+        t3s, wy, f, packed, gcol, g_out, H, W, Hpg, interpret
+    )
+    zp = np.zeros(packed.shape, dtype=jax.dtypes.float0)
+    return (dt3.astype(t3s.dtype), dwy, df, zp, jnp.zeros_like(gcol))
+
+
+lattice_bias_fused_sh.defvjp(_fused_fwd_sh, _fused_bwd_sh)

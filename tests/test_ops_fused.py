@@ -31,8 +31,21 @@ def _setup(B=2, G=2, Hpg=2, H=8, W=8, d=2, seed=0):
     return table, k_pos, H, W, N
 
 
+@pytest.fixture(params=["shifted", "resolve"])
+def lattice_variant(request, monkeypatch):
+    """Run a test under both lattice-kernel stagings: the shift-replicated
+    layout (deform_attn.use_shift_replica, the default at model shapes) and
+    the resolve layout (the wide-site fallback and the DMA variants' base).
+    The env knob is read at trace time by the dispatch."""
+    monkeypatch.setenv(
+        "BEVRENDER_SHIFT_REPLICA",
+        "1" if request.param == "shifted" else "0",
+    )
+    return request.param
+
+
 class TestFusedLatticeBias:
-    def test_forward_matches_xla(self):
+    def test_forward_matches_xla(self, lattice_variant):
         table, k_pos, H, W, N = _setup()
         ref, n_ref = _lattice_bias_nm(
             table, k_pos, H, W, compute_dtype=jnp.float32, use_kernel=False
@@ -46,7 +59,7 @@ class TestFusedLatticeBias:
             np.asarray(got[:, :, :, :N]), np.asarray(ref), rtol=0, atol=1e-5
         )
 
-    def test_forward_nonsquare_window(self):
+    def test_forward_nonsquare_window(self, lattice_variant):
         # H=W=4, d=3: small lattice, odd table width
         table, k_pos, H, W, N = _setup(B=1, G=1, Hpg=2, H=4, W=4, d=3, seed=3)
         ref, _ = _lattice_bias_nm(
@@ -60,7 +73,7 @@ class TestFusedLatticeBias:
             np.asarray(got[:, :, :, :N]), np.asarray(ref), rtol=0, atol=1e-5
         )
 
-    def test_grads_match_xla(self):
+    def test_grads_match_xla(self, lattice_variant):
         table, k_pos, H, W, N = _setup(B=1, G=2, Hpg=2, H=8, W=8, d=2, seed=1)
 
         def loss(fn_kwargs):
@@ -89,7 +102,7 @@ class TestFusedLatticeBias:
             np.asarray(g_got[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-5
         )
 
-    def test_padding_and_masking_in_site(self):
+    def test_padding_and_masking_in_site(self, lattice_variant):
         # N=12 pads to Np=64 inside the kernel path; the full site must mask
         # the 52 fake keys so outputs match the XLA path exactly.
         B, G, Hpg, H, W, d = 1, 1, 2, 6, 4, 1
@@ -133,7 +146,7 @@ class TestFusedLatticeBias:
             np.asarray(out_got), np.asarray(out_ref), rtol=2e-2, atol=2e-2
         )
 
-    def test_fused_site_forward_matches_dense_reference(self):
+    def test_fused_site_forward_matches_dense_reference(self, lattice_variant):
         # full fusion (bias + scores + online softmax + AV in one kernel)
         # vs the all-f32 dense reference; the kernel's table staging is bf16
         # (production compute dtype), hence the loose tolerance
@@ -169,7 +182,7 @@ class TestFusedLatticeBias:
                 rtol=2e-2, atol=2e-2,
             )
 
-    def test_fused_site_grads_match_xla_path(self):
+    def test_fused_site_grads_match_xla_path(self, lattice_variant):
         # the custom VJP recomputes through the XLA consumer; gradients must
         # match the non-fused streamed path exactly (same backward program)
         table, k_pos, H, W, N = _setup(B=1, G=2, Hpg=2, H=8, W=8, d=2, seed=2)
@@ -218,7 +231,7 @@ class TestFusedLatticeBias:
         sv = np.asarray(s)
         assert sv.min() >= 0 and sv.max() < 8
 
-    def test_sorted_keys_same_site_output(self):
+    def test_sorted_keys_same_site_output(self, lattice_variant):
         # sorting keys by shift class must not change the attention output
         table, k_pos, H, W, N = _setup(B=1, G=1, Hpg=2, H=8, W=8, d=2, seed=5)
         ch = 4
