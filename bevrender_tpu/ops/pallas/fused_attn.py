@@ -1201,7 +1201,7 @@ def fused_site_call_sh(
         ],
         out_shape=jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=126 * 1024 * 1024
         ),
         interpret=interpret,
     )(packed2, t3s, wy, f, gcol, k, v, qcm)

@@ -735,7 +735,7 @@ def _fwd_call_sh(t3s, wy, f, packed, gcol, H, W, Hpg, interpret, nreal=None):
         ],
         out_shape=jax.ShapeDtypeStruct((B, G, Hpg, Np, M), t3s.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=126 * 1024 * 1024
         ),
         interpret=interpret,
     )(packed2, t3s, wy, f, gcol)
@@ -874,7 +874,7 @@ def _bwd_call_sh(t3s, wy, f, packed, gcol, g_out, H, W, Hpg, interpret):
             jax.ShapeDtypeStruct((B, G, Np, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=126 * 1024 * 1024
         ),
         interpret=interpret,
     )(packed2, t3s, wy, f, gcol, g_out)
