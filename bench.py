@@ -165,6 +165,8 @@ def _build_train_setup():
 def _cost_flops(lowered) -> float:
     ca = lowered.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    if ca is None:  # the axon AOT client returns no analysis — use fallbacks
+        return 0.0
     return float(ca.get("flops", 0.0))
 
 
