@@ -275,8 +275,11 @@ def _stage_table(table: jax.Array, u0, m_max: int, PAD: int, H: int,
 
 def _h1als(H: int) -> int:
     """Aligned rows for the shift-replicated staging: just the H+1 lerp rows
-    (each replica is pre-shifted, so windows start 8-aligned with no slack)."""
-    return -(-(H + 1) // 8) * 8
+    (each replica is pre-shifted, so windows start 8-aligned with no slack).
+    Single source of truth lives next to the kernels that slice with it."""
+    from bevrender_tpu.ops.pallas.lattice_bias import _h1als as _impl
+
+    return _impl(H)
 
 
 def _shift_geom(table_shape, H: int, W: int):
@@ -306,16 +309,14 @@ def use_shift_replica(table_shape, H: int, W: int) -> bool:
     (pyramid stages) fall back to the resolve kernel.
 
     BEVRENDER_SHIFT_REPLICA=0/1 forces the choice (trace-time, like the
-    other kernel knobs). The DMA variants only exist for the resolve layout.
+    other kernel knobs). The DMA variant knobs (BEVRENDER_SITE_DMA /
+    BEVRENDER_BIAS_DMA) are independent: they only affect sites that are
+    on the resolve layout anyway (wide sites, or a forced =0 here).
     """
     import os
 
     env = os.environ.get("BEVRENDER_SHIFT_REPLICA")
     if env == "0":
-        return False
-    if os.environ.get("BEVRENDER_SITE_DMA") in ("1", "2") or (
-        os.environ.get("BEVRENDER_BIAS_DMA") == "1"
-    ):
         return False
     if env == "1":
         return True
@@ -406,6 +407,7 @@ def _kernel_inputs(
     H: int,
     W: int,
     compute_dtype=jnp.bfloat16,
+    lane_pad: bool = False,
 ):
     """Shared host-side staging for the Pallas lattice kernels: tile-padded
     per-key geometry, packed window starts, the head-major rearranged table
@@ -432,7 +434,7 @@ def _kernel_inputs(
         shift = jnp.pad(shift, ((0, 0), (0, 0), (0, pad)))
     packed = ((ys << 16) | ms).reshape(B * G * Np)
 
-    dma_selected = (
+    dma_selected = lane_pad or (
         os.environ.get("BEVRENDER_SITE_DMA") in ("1", "2")
         or os.environ.get("BEVRENDER_BIAS_DMA") == "1"
     )
@@ -698,8 +700,10 @@ def _fused_site_train_fwd_impl(q, k, v, k_pos, rpe_table, H, W, scale,
         fused_site_call_v2_lse if v2_train == "1" else fused_site_call_lse
     )
     N = k.shape[3]
+    # the v2 forward's DMA window copies need 128-lane-aligned staging even
+    # when BEVRENDER_SITE_DMA is unset (the knobs are independent)
     t3m, wy4, f4, shift4, packed, gcol, Np = _kernel_inputs(
-        rpe_table, k_pos, H, W
+        rpe_table, k_pos, H, W, lane_pad=(v2_train == "1")
     )
     kp = k
     vp = v

@@ -86,10 +86,11 @@ def _mix_resolve(f_ref, shift_ref, gcol_ref, win, xin, xres, H):
     """x-mix + shift resolve on an already-extracted ``win`` (the DMA-prefetch
     site kernel fills ``win`` asynchronously; the plain path extracts inline).
     """
-    # x-mix: phi = g[lane] + f[key]; c = floor(phi) in {0,1}; wx = frac(phi)
-    # computed in f32, stored in the scratch dtype (bf16 in production —
-    # halves the VMEM vector traffic of the mix/resolve stages and matches
-    # the XLA lattice path, which mixes in compute_dtype throughout)
+    # x-mix: phi = g[lane] + f[key]; c = floor(phi) in {0,1}; wx = frac(phi).
+    # The mix computes AND stores in f32 (xin/xres scratches are f32): bf16
+    # intermediates paid a dtype conversion at every stage boundary and the
+    # v5e VPU has no fast bf16 ALU path — f32 scratches measured 25% faster
+    # on the fused site (SITE_STAGE_BENCH.json)
     f = f_ref[0, 0]  # (TN, 1)
     phi = gcol_ref[...] + f  # (1, WH) + (TN, 1) -> (TN, WH)
     cross = jnp.floor(phi)

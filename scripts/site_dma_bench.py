@@ -92,8 +92,12 @@ def main():
         err = float(jnp.max(jnp.abs(a - b)))
         out["onchip_parity_max_err"] = err
         print(f"on-chip parity dma: {err}", flush=True)
-        assert err < 1e-5, err
+        # a PARITY failure is a numerics bug, not a benign compile gap —
+        # keep the measured error in the artifact and abort loudly
+        assert err < 1e-5, f"dma on-chip parity FAILED: {err}"
         dma_ok = True
+    except AssertionError:
+        raise
     except Exception as e:  # Mosaic compile failures must not kill the A/B
         print(f"dma variant failed on-chip: {e!r}"[:500], flush=True)
         out["onchip_parity_max_err"] = None
@@ -105,8 +109,10 @@ def main():
         err2 = float(jnp.max(jnp.abs(a - c)))
         out["onchip_parity_v2_max_err"] = err2
         print(f"on-chip parity v2: {err2}", flush=True)
-        assert err2 < 1e-4, err2
+        assert err2 < 1e-4, f"v2 on-chip parity FAILED: {err2}"
         v2_ok = True
+    except AssertionError:
+        raise
     except Exception as e:
         print(f"v2 variant failed on-chip: {e!r}"[:500], flush=True)
         out["onchip_parity_v2_max_err"] = None

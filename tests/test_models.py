@@ -151,8 +151,9 @@ class TestAttentionModules:
         assert float(jnp.abs(out - out2).max()) > 1e-6
 
     def test_sca_folded_views_match_per_view_loop(self):
-        """BEVRENDER_FOLD_VIEWS=1 (default: one batched site call for all
-        views) must reproduce the per-view loop. Forward is bit-identical;
+        """BEVRENDER_FOLD_VIEWS=1 (opt-in: one batched site call for all
+        views; the per-view loop is the measured-faster default) must
+        reproduce the per-view loop. Forward is bit-identical;
         the rpe-table gradient is a large bf16 scatter-sum whose reduction
         order changes with the fold, so it gets a relative tolerance."""
         import os
