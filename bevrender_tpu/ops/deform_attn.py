@@ -360,10 +360,17 @@ def _kernel_inputs_sh(
     H: int,
     W: int,
     compute_dtype=jnp.bfloat16,
+    lane_block: int = 0,
 ):
     """Staging for the shift-replicated lattice kernels. Returns
     (t3s, wy4, f4, packed, gcol, Np) where packed = ys8 << 16 | (s*m_max+ms)
-    indexes the replicated table directly (no shift array, no key sort)."""
+    indexes the replicated table directly (no shift array, no key sort).
+
+    ``lane_block > 0`` pads the table lanes from Hpg*W up to ``lane_block``
+    with -1e30 (the row-folded sh2 site kernel stores whole 64-lane bias
+    rows; the pad flows through both lerps as -1e30, so the folded softmax's
+    pad columns stay inert with zero extra kernel ops). The pad is an
+    AFFINE map of the table — autodiff through the staging stays exact."""
     G, Hpg, Ht, Wt = table.shape
     B, _, N, _ = k_pos.shape
     ys, ms, shift, wy, f, u0, g, m_max, PAD = _lattice_geometry(
@@ -381,8 +388,16 @@ def _kernel_inputs_sh(
     packed = ((ys8 << 16) | msr).reshape(B * G * Np)
 
     t3s = _stage_table_shifted(table, u0, m_max, PAD, H, compute_dtype)
+    WH = Hpg * W
+    if lane_block > WH:
+        t3s = jnp.pad(
+            t3s, ((0, 0), (0, 0), (0, 0), (0, lane_block - WH)),
+            constant_values=-1e30,
+        )
     wy4, f4 = _stage_fracs(k_pos, table.shape, H, W, Np)
-    gcol = jnp.asarray(np.tile(g, Hpg)).reshape(1, Hpg * W)
+    gflat = np.zeros(max(lane_block, WH), np.float32)
+    gflat[:WH] = np.tile(g, Hpg)
+    gcol = jnp.asarray(gflat).reshape(1, -1)
     return t3s, wy4, f4, packed, gcol, Np
 
 
@@ -595,6 +610,29 @@ def _fused_site_impl(q, k, v, k_pos, rpe_table, H, W, scale, interpret):
     qcm = jnp.swapaxes(q, -1, -2)  # (B, G, Hpg, ch, M): queries on lanes
 
     if use_shift_replica(rpe_table.shape, H, W):
+        from bevrender_tpu.ops.pallas.fused_attn import fused_site_call_sh2
+
+        WHl = Hpg * W
+        # row-folded variant (sh2): one whole-row y-mix store per query row
+        # and one block-diagonal QK/AV dot. Measured NET-NEUTRAL-to-slower
+        # on v5e (g8 0.99x, g4/TSA 0.97x): the ~0.9 ms/site saved on the
+        # split y-mix stores is exactly repaid by the folded (TN, H*64)
+        # layout costing +14% lanes on every softmax vector op (1792 vs
+        # 2x784 columns). Kept as an A/B knob; per-head sh is the default.
+        use_sh2 = (
+            os.environ.get("BEVRENDER_SITE_SH2") == "1" and WHl <= 128
+        )
+        if use_sh2:
+            lane_block = 64 if WHl <= 64 else 128
+            t3s, wy4, f4, packed, gcol, Np = _kernel_inputs_sh(
+                rpe_table, k_pos, H, W, lane_block=lane_block
+            )
+            kp, vp = padded_kv(Np)
+            out_cm = fused_site_call_sh2(
+                t3s, wy4, f4, packed, gcol, kp, vp, qcm,
+                H, W, Hpg, interpret, N, scale,
+            )
+            return jnp.swapaxes(out_cm, -1, -2)
         t3s, wy4, f4, packed, gcol, Np = _kernel_inputs_sh(
             rpe_table, k_pos, H, W
         )

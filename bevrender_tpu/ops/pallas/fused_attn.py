@@ -1205,3 +1205,170 @@ def fused_site_call_sh(
         ),
         interpret=interpret,
     )(packed2, t3s, wy, f, gcol, k, v, qcm)
+
+
+def _site_kernel_sh2(
+    packed_ref,  # SMEM (8, TN) int32: ys8 << 16 | (s*m_max + ms)
+    t3_ref,      # VMEM (1, 8*m_max, Yp2, LB) — lanes padded to LB with -1e30
+    wy_ref, f_ref, gcol_ref,
+    kb_ref,      # VMEM (1, 1, TN, HC) keys, heads folded on lanes
+    vb_ref,      # VMEM (1, 1, TN, HC)
+    qb_ref,      # VMEM (1, 1, HC, H*LB) block-diagonal row-folded queries
+    out_ref,     # VMEM (1, 1, Hpg, ch, M) f32
+    win,         # scratch (TN, 3, H1ALS, LB) table-dtype
+    xres,        # scratch (TN, H+1, LB) f32
+    sblk,        # scratch (TN, H*LB) f32 — row-folded bias/scores
+    macc, lacc,  # scratch (1, H*LB) f32
+    oacc,        # scratch (HC, H*LB) f32
+    *,
+    H: int, W: int, Hpg: int, ch: int, TN: int, Np: int,
+    nreal: int, scale: float, LB: int,
+):
+    """Row-folded sh site kernel: scores live in ONE (TN, H*LB) tile with
+    column iy*LB + h*W + x (LB = 64 at flagship), so every y-mix store is a
+    single whole-row granule write instead of Hpg narrow slices; QK and AV
+    run as ONE block-diagonal MXU dot and the per-head narrow writeout
+    happens once per cell. Pad columns carry -1e30 from the staging
+    (deform_attn._kernel_inputs_sh lane_block), so the streaming softmax
+    keeps them inert for free.
+
+    Measured NET-NEUTRAL-to-slower vs the per-head sh kernel on v5e
+    (g8 0.99x, g4/TSA 0.97x): the ~0.9 ms/site saved on split stores is
+    repaid by +14% softmax lanes in the folded layout (H*64 = 1792 vs
+    Hpg*M = 1568 columns). A/B knob BEVRENDER_SITE_SH2=1; per-head sh is
+    the production default."""
+    NT = Np // TN
+    t = pl.program_id(1)
+    row = (pl.program_id(0) * NT + t) % 8
+    HC = Hpg * ch
+    _fill_xres_sh(packed_ref, t3_ref, f_ref, gcol_ref, win, xres, row, H)
+
+    @pl.when(t == 0)
+    def _():
+        macc[...] = jnp.full(macc.shape, -1e30, jnp.float32)
+        lacc[...] = jnp.zeros(lacc.shape, jnp.float32)
+        oacc[...] = jnp.zeros(oacc.shape, jnp.float32)
+
+    wy = wy_ref[0, 0]
+    if Np == nreal:
+        valid = None
+    else:
+        kid = jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + t * TN
+        valid = kid < nreal
+    for iy in range(H):
+        rowv = (1.0 - wy) * xres[:, iy, :] + wy * xres[:, iy + 1, :]
+        if valid is not None:
+            rowv = jnp.where(valid, rowv, -1e30)
+        sblk[:, iy * LB : (iy + 1) * LB] = rowv
+
+    kblk = kb_ref[0, 0].astype(jnp.bfloat16)   # (TN, HC)
+    qblk = qb_ref[0, 0].astype(jnp.bfloat16)   # (HC, H*LB)
+    qk = jax.lax.dot_general(
+        kblk, qblk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = sblk[...] + scale * qk                  # (TN, H*LB)
+    mold = macc[...]
+    mnew = jnp.maximum(mold, jnp.max(s, axis=0, keepdims=True))
+    p = jnp.exp(s - mnew)
+    alpha = jnp.exp(mold - mnew)
+    macc[...] = mnew
+    lacc[...] = lacc[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    vblk = vb_ref[0, 0].astype(jnp.bfloat16)    # (TN, HC)
+    contrib = jax.lax.dot_general(
+        vblk, p.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                           # (HC, H*LB)
+    oacc[...] = oacc[...] * alpha + contrib
+
+    @pl.when(t == NT - 1)
+    def _():
+        for h in range(Hpg):
+            for iy in range(H):
+                col = iy * LB + h * W
+                lsafe = jnp.maximum(lacc[:, col : col + W], 1e-30)
+                out_ref[0, 0, h, :, iy * W : (iy + 1) * W] = (
+                    oacc[h * ch : (h + 1) * ch, col : col + W] / lsafe
+                ).astype(out_ref.dtype)
+
+
+def fused_site_call_sh2(
+    t3s, wy, f, packed, gcol, k, v, qcm, H, W, Hpg, interpret, nreal, scale,
+):
+    """Row-folded sh site (see :func:`_site_kernel_sh2`). ``t3s``/``gcol``
+    must be staged with ``lane_block=LB`` (64 when Hpg*W <= 64, 128 when
+    <= 128); wider sites use :func:`fused_site_call_sh`."""
+    G, m8, Yp2, LB = t3s.shape
+    B, _, Np, _ = wy.shape
+    M = H * W
+    ch = k.shape[-1]
+    HC = Hpg * ch
+    Mbig = H * LB
+    from bevrender_tpu.ops.pallas.lattice_bias import _tile_size
+
+    TN = _tile_size(Np)
+    H1ALS = _h1als(H)
+    NT = Np // TN
+    n_cells = B * G * NT
+    r8 = -(-n_cells // 8) * 8
+    packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+
+    # heads folded on lanes: (B, G, Hpg, Np, ch) -> (B, G, Np, HC)
+    kb = jnp.transpose(k, (0, 1, 3, 2, 4)).reshape(B, G, Np, HC)
+    vb = jnp.transpose(v, (0, 1, 3, 2, 4)).reshape(B, G, Np, HC)
+    # block-diagonal row-folded queries:
+    # qb[., h*ch+c, iy*LB + h*W + x] = qcm[., h, c, iy*W + x]
+    q5 = qcm.reshape(B, G, Hpg, ch, H, W)
+    qb = jnp.zeros((B, G, HC, H, LB), qcm.dtype)
+    for h in range(Hpg):
+        qb = jax.lax.dynamic_update_slice(
+            qb, q5[:, :, h], (0, 0, h * ch, 0, h * W)
+        )
+    qb = qb.reshape(B, G, HC, Mbig)
+
+    return pl.pallas_call(
+        functools.partial(
+            _site_kernel_sh2, H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
+            nreal=nreal, scale=float(scale), LB=LB,
+        ),
+        grid=(B * G, NT),
+        in_specs=[
+            pl.BlockSpec((8, TN), lambda bg, t: ((bg * NT + t) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, m8, Yp2, LB), lambda bg, t: (bg % G, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LB), lambda bg, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, HC),
+                         lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TN, HC),
+                         lambda bg, t: (bg // G, bg % G, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, HC, Mbig),
+                         lambda bg, t: (bg // G, bg % G, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Hpg, ch, M),
+            lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TN, 3, H1ALS, LB), t3s.dtype),
+            pltpu.VMEM((TN, H + 1, LB), jnp.float32),
+            pltpu.VMEM((TN, Mbig), jnp.float32),
+            pltpu.VMEM((1, Mbig), jnp.float32),
+            pltpu.VMEM((1, Mbig), jnp.float32),
+            pltpu.VMEM((HC, Mbig), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, G, Hpg, ch, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=126 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(packed2, t3s, wy, f, gcol, kb, vb, qb)

@@ -307,6 +307,39 @@ class TestFusedLatticeBias:
             got = fused_site_call_dma(*args, H, W, Hpg, True, N, ch ** -0.5)
             np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
+    def test_sh2_rowfold_variant_matches_sh(self):
+        """The row-folded sh2 site kernel (BEVRENDER_SITE_SH2=1, measured
+        net-neutral A/B) must bit-match the per-head sh kernel."""
+        from bevrender_tpu.ops.deform_attn import _kernel_inputs_sh
+        from bevrender_tpu.ops.pallas.fused_attn import (
+            fused_site_call_sh,
+            fused_site_call_sh2,
+        )
+
+        table, k_pos, H, W, N = _setup(seed=11)
+        G, Hpg = table.shape[0], table.shape[1]
+        B = k_pos.shape[0]
+        ch = 4
+        key = jax.random.PRNGKey(12)
+        t3s, wy4, f4, packed, gcol, Np = _kernel_inputs_sh(table, k_pos, H, W)
+        t3s2, wy42, f42, packed2, gcol2, _ = _kernel_inputs_sh(
+            table, k_pos, H, W, lane_block=64
+        )
+        ks = jax.random.split(key, 3)
+        k = jax.random.normal(ks[0], (B, G, Hpg, Np, ch), jnp.bfloat16)
+        v = jax.random.normal(ks[1], (B, G, Hpg, Np, ch), jnp.bfloat16)
+        qcm = jax.random.normal(ks[2], (B, G, Hpg, ch, H * W), jnp.bfloat16)
+        a = fused_site_call_sh(
+            t3s, wy4, f4, packed, gcol, k, v, qcm, H, W, Hpg, True, N, 0.5
+        )
+        b = fused_site_call_sh2(
+            t3s2, wy42, f42, packed2, gcol2, k, v, qcm, H, W, Hpg, True, N,
+            0.5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
     def test_v2_headfold_variant_matches_inline_kernel(self):
         """The head-folded 128-pad layout kernel (fused_site_call_v2) matches
         the inline-extract production kernel (interpret mode; the folded
