@@ -140,6 +140,11 @@ class TrainConfig:
     # batch (train.py:277-309), but float()-ing device scalars every step
     # serializes host<->device and defeats prefetch overlap; 1 = exact parity
     log_every_steps: int = 10
+    # train steps executed per device dispatch (k>1 stacks k host batches and
+    # lax.scan's the jitted step over them, amortizing per-step dispatch RPC +
+    # copy cost — significant on remote-attached TPUs, harmless elsewhere;
+    # numerically identical to k sequential steps). 1 = reference cadence.
+    steps_per_dispatch: int = 1
 
 
 @dataclass

@@ -23,6 +23,24 @@ def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
+def group_batches(
+    it: Iterator[Dict[str, np.ndarray]], k: int
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Stack ``k`` consecutive batches into one ``(k, B, ...)`` super-batch
+    (``TrainConfig.steps_per_dispatch``): the jitted multi-step scan then runs
+    k optimizer steps per device dispatch, amortizing per-step RPC/copy cost.
+    A trailing partial group is yielded at its natural size (one extra
+    compile at most, since the remainder is constant across epochs)."""
+    buf: List[Dict[str, np.ndarray]] = []
+    for b in it:
+        buf.append(b)
+        if len(buf) == k:
+            yield collate(buf)
+            buf = []
+    if buf:
+        yield collate(buf)
+
+
 class DataLoader:
     """Minimal map-style loader: shuffling, batching, drop_last, threaded
     ``__getitem__``; mirrors the reference loader's semantics

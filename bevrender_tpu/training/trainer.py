@@ -40,7 +40,7 @@ import optax
 from flax import struct
 
 from bevrender_tpu.config import Config
-from bevrender_tpu.data.prefetch import DataLoader, device_prefetch
+from bevrender_tpu.data.prefetch import DataLoader, device_prefetch, group_batches
 from bevrender_tpu.losses import metric as metric_losses
 from bevrender_tpu.losses import rendering as render_losses
 from bevrender_tpu.losses.recall import recall_at_k
@@ -127,6 +127,11 @@ class Trainer:
         Path(self.work_dir).mkdir(parents=True, exist_ok=True)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        # k steps per dispatch (tc.steps_per_dispatch > 1); jit is lazy, so
+        # this costs nothing unless the grouped path is actually used
+        self._train_step_multi = jax.jit(
+            self._train_step_multi_impl, donate_argnums=(0,)
+        )
         self._eval_step = jax.jit(self._eval_step_impl)
         self._recall = jax.jit(lambda c, m: recall_at_k(c, m, (1, 5, 10)))
 
@@ -242,6 +247,34 @@ class Trainer:
             metrics[f"train_batch_{k}_loss"] = v
         return new_state, metrics, render
 
+    def _train_step_multi_impl(self, state: TrainState, batches, rng):
+        """Run k training steps in ONE dispatch over a stacked (k, B, ...)
+        super-batch (``TrainConfig.steps_per_dispatch``).
+
+        ``lax.scan`` over the leading axis amortizes the per-step host
+        dispatch (one RPC + one input copy per k steps instead of per step —
+        the dominant Trainer-loop overhead on remote/tunnel-attached TPUs;
+        see TRAINER_OVERLAP.json). Numerically identical to k sequential
+        ``_train_step`` calls: each sub-step folds ``state.step`` into the
+        epoch rng exactly like the single-step path, and the optimizer/BN
+        state threads through the scan carry. Metrics come back stacked
+        (k,); the aerial render is returned for the LAST sub-step only (the
+        only one the logging cadence can want).
+        """
+        last = jax.tree_util.tree_map(lambda x: x[-1], batches)
+        head = jax.tree_util.tree_map(lambda x: x[:-1], batches)
+
+        def body(st, batch):
+            st, metrics, _render = self._train_step_impl(st, batch, rng)
+            return st, metrics
+
+        state, head_metrics = jax.lax.scan(body, state, head)
+        state, last_metrics, render = self._train_step_impl(state, last, rng)
+        metrics = jax.tree_util.tree_map(
+            lambda h, l: jnp.concatenate([h, l[None]]), head_metrics, last_metrics
+        )
+        return state, metrics, render
+
     def _eval_step_impl(self, state: TrainState, batch):
         variables = {"params": state.params}
         if state.batch_stats:
@@ -291,12 +324,37 @@ class Trainer:
         # this key itself, so the loop body issues exactly one dispatch per
         # step (no eager RPCs on remote-attached TPUs)
         rng, epoch_rng = jax.random.split(rng)
+        # k>1: stack k host batches per dispatch and lax.scan the step over
+        # them — one RPC + one input copy per k steps (tc.steps_per_dispatch;
+        # logging/image cadences then count dispatches, not steps)
+        k_disp = max(self.tc.steps_per_dispatch, 1)
+        batch_it = iter(train_loader)
+        sharding, preprocess = self.batch_sharding, self.preprocess
+        if k_disp > 1:
+            batch_it = group_batches(batch_it, k_disp)
+            if sharding is not None:  # batch axis moves to position 1
+                sharding = jax.sharding.NamedSharding(
+                    sharding.mesh,
+                    jax.sharding.PartitionSpec(None, self.tc.data_axis),
+                )
+            if preprocess is not None:  # map the per-batch pipeline over k
+                preprocess = jax.vmap(preprocess)
         for idx, batch in enumerate(
-            device_prefetch(iter(train_loader), sharding=self.batch_sharding,
-                            preprocess=self.preprocess)
+            device_prefetch(batch_it, sharding=sharding, preprocess=preprocess)
         ):
-            state, metrics, render = self._train_step(state, batch, epoch_rng)
-            tr_losses.append(metrics["train_batch_loss"])
+            if k_disp > 1:
+                state, metrics, render = self._train_step_multi(
+                    state, batch, epoch_rng
+                )
+                # metrics leaves are (group,): sum losses for the epoch mean,
+                # log the last sub-step's values at the cadence below
+                tr_losses.append(metrics["train_batch_loss"].sum())
+                metrics = jax.tree_util.tree_map(lambda v: v[-1], metrics)
+                last_map, last_cam = batch["map"][-1], batch["camera"][-1]
+            else:
+                state, metrics, render = self._train_step(state, batch, epoch_rng)
+                tr_losses.append(metrics["train_batch_loss"])
+                last_map, last_cam = batch["map"], batch["camera"]
             want_img = (
                 self.image_rendering
                 and self.metrics.run is not None
@@ -324,8 +382,8 @@ class Trainer:
                 # the images are identical
                 img = self.get_log_image(
                     np.asarray(render[0]),
-                    np.asarray(batch["map"][0]),
-                    np.asarray(batch["camera"][0, -1]),
+                    np.asarray(last_map[0]),
+                    np.asarray(last_cam[0, -1]),
                 )
                 try:
                     import wandb

@@ -56,9 +56,20 @@ def main():
     from bevrender_tpu.models.bevrender import BEVRenderModel
     from bevrender_tpu.training.trainer import Trainer
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--steps-per-dispatch", type=int, default=1,
+        help="k>1 measures the grouped-dispatch Trainer path "
+             "(TrainConfig.steps_per_dispatch): k scanned steps per RPC",
+    )
+    args = ap.parse_args()
+
     bs = 16
     n_steps = 50
     cfg = make_config("mid", bs)  # same shapes as the recall demo: cached
+    cfg.train.steps_per_dispatch = args.steps_per_dispatch
     cfg.train.save_ckpt = False
     cfg.train.apply_validation = False
     cfg.train.k_fold = 50  # train split ~= (1 - 1/50) of the data
@@ -159,6 +170,7 @@ def main():
             ((loop_ms - u8_ms) / raw_ms - 1.0) * 100.0, 1
         ),
         "log_every_steps": cfg.train.log_every_steps,
+        "steps_per_dispatch": cfg.train.steps_per_dispatch,
         "note": (
             "tunnel-attached TPU: the per-step uint8 batch copy crosses a "
             "remote RPC link; on PCIe-attached hosts it is DMA'd and "
@@ -167,7 +179,12 @@ def main():
         ),
     }
     print(json.dumps(out), flush=True)
-    path = ROOT / "TRAINER_OVERLAP.json"
+    if cfg.train.steps_per_dispatch > 1:
+        # grouped-dispatch variant (--steps-per-dispatch k): recorded as a
+        # sibling artifact so the k=1 baseline stays comparable across rounds
+        path = ROOT / f"TRAINER_OVERLAP_k{cfg.train.steps_per_dispatch}.json"
+    else:
+        path = ROOT / "TRAINER_OVERLAP.json"
     path.write_text(json.dumps(out, indent=1))
 
 
