@@ -150,11 +150,20 @@ def main():
     wb = next(device_prefetch(warm_iter, preprocess=trainer.preprocess))
     state_b, _, _ = trainer._train_step(state_b, wb, jax.random.PRNGKey(3))
 
+    if cfg.train.steps_per_dispatch > 1:
+        # the grouped path compiles its own scanned executables (one per
+        # distinct group size, incl. the trailing partial group); run one
+        # untimed epoch so the timed window measures steady state, exactly
+        # like the k=1 path whose single-step executable is warmed above
+        state_b = trainer.train(state_b, apply_validation=False, max_epochs=2)
+        jax.block_until_ready(jax.tree_util.tree_leaves(state_b.params)[0])
+
+    warm_steps = int(state_b.step)
     t0 = time.perf_counter()
     state_b = trainer.train(state_b, apply_validation=False, max_epochs=3)
     jax.block_until_ready(jax.tree_util.tree_leaves(state_b.params)[0])
     wall = time.perf_counter() - t0
-    steps_done = int(state_b.step) - 1  # minus the warm step
+    steps_done = int(state_b.step) - warm_steps
     loop_ms = wall / max(steps_done, 1) * 1e3
 
     out = {
