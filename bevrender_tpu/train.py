@@ -85,6 +85,12 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--restore", help="checkpoint path to resume from")
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument(
+        "--steps-per-dispatch", type=int, default=None, metavar="K",
+        help="run K train steps per device dispatch (lax.scan over K stacked "
+             "batches); amortizes per-step dispatch/copy cost — see "
+             "TrainConfig.steps_per_dispatch",
+    )
     args = ap.parse_args(argv)
 
     logger = get_logger()
@@ -98,6 +104,8 @@ def main(argv=None):
         config = flagship_config()
     if args.epochs:
         config.train.total_epochs = args.epochs
+    if args.steps_per_dispatch:
+        config.train.steps_per_dispatch = args.steps_per_dispatch
 
     if args.distributed or config.train.distributed:
         initialize_distributed()
