@@ -807,6 +807,33 @@ fused_site_attention_train.defvjp(_fused_site_train_fwd,
                                   _fused_site_train_bwd)
 
 
+def _site_remat():
+    """Trace-time remat policy for the XLA site paths (BEVRENDER_SITE_REMAT,
+    an A/B env knob like the kernel-variant ones):
+
+      unset / 'nothing' -> jax.checkpoint(nothing_saveable): the backward
+            recomputes the whole site (scores, bias, softmax) — O(chunk*keys)
+            transient memory, maximum recompute (the round-2 default);
+      'dots'  -> jax.checkpoint(dots_saveable): matmul/einsum outputs are
+            saved, the backward recomputes only the cheap elementwise tail —
+            trades HBM for most of the recompute;
+      'none'  -> no checkpoint: XLA keeps every residual it wants (fastest
+            backward, highest memory; viable at small train batch because
+            history frames are stop_gradient'd and save nothing).
+    """
+    import os
+
+    mode = os.environ.get("BEVRENDER_SITE_REMAT", "nothing")
+    if mode == "none":
+        return lambda f: f
+    policy = (
+        jax.checkpoint_policies.dots_saveable
+        if mode == "dots"
+        else jax.checkpoint_policies.nothing_saveable
+    )
+    return functools.partial(jax.checkpoint, policy=policy)
+
+
 def streamed_deform_attention(
     q: jax.Array,
     k: jax.Array,
@@ -872,9 +899,7 @@ def streamed_deform_attention(
                 scale=scale, interpret=False,
             )
 
-        @functools.partial(
-            jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable
-        )
+        @_site_remat()
         def full_site(q, k, v, k_pos, rpe_table, key):
             return _site_xla(
                 q, k, v, k_pos, rpe_table, *lattice_hw,
@@ -906,7 +931,7 @@ def streamed_deform_attention(
     else:
         keys = jnp.zeros((n_chunks, 2), dtype=jnp.uint32)
 
-    @functools.partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
+    @_site_remat()
     def one_chunk(qc, qpos_c, key):
         # qc: (B, G, Hpg, chunk, ch); qpos_c: (chunk, 2)
         s = jnp.einsum(
