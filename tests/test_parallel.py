@@ -155,6 +155,66 @@ class TestFullModelDPEquivalence:
             )
 
 
+class TestGroupedDispatchOnMesh:
+    """steps_per_dispatch under GSPMD: the grouped super-batch shards its
+    BATCH axis at position 1 (`P(None, "data")` — the epoch loop's grouped
+    sharding), and the scanned multi-step must match the unsharded one."""
+
+    def test_multi_step_sharded_matches_unsharded(self):
+        from bevrender_tpu.config import Config, tiny_model_config
+        from bevrender_tpu.data.dataset import SyntheticDataset
+        from bevrender_tpu.models.bevrender import BEVRenderModel
+        from bevrender_tpu.training.trainer import Trainer
+
+        cfg = Config()
+        cfg.model = tiny_model_config()
+        cfg.data.window_num_imgs = 1
+        cfg.train.batch_size = 8
+        cfg.train.loss_type = "MSE"
+        cfg.train.ckpt_dir = "/tmp/grouped_mesh_ckpt"
+
+        model = BEVRenderModel(cfg)
+        ds = SyntheticDataset(n_items=16, num_views=2, window_num_imgs=1,
+                              img_height=32, img_width=32, map_tile=32)
+        b0 = {k: np.stack([ds[i][k] for i in range(8)]) for k in ds[0]}
+        b1 = {k: np.stack([ds[i][k] for i in range(8, 16)]) for k in ds[0]}
+        grouped = {k: np.stack([b0[k], b1[k]]) for k in b0}  # (2, 8, ...)
+
+        mesh = make_mesh(8)
+        tr_sh = Trainer(model, cfg, ds, mesh=mesh)
+        tr_un = Trainer(model, cfg, ds)
+        rng = jax.random.PRNGKey(3)
+
+        state_sh = tr_sh.create_state(jax.random.PRNGKey(0), b0)
+        state_un = tr_un.create_state(jax.random.PRNGKey(0), b0)
+        sharding = NamedSharding(mesh, P(None, "data"))
+        grouped_sh = {k: jax.device_put(v, sharding) for k, v in grouped.items()}
+
+        s1, m1, _ = tr_sh._train_step_multi(state_sh, grouped_sh, rng)
+        s2, m2, _ = tr_un._train_step_multi(state_un, grouped, rng)
+
+        assert m1["train_batch_loss"].shape == (2,)
+        # step 1: same state, same batch -> sharded reduction drift only
+        np.testing.assert_allclose(
+            float(m1["train_batch_loss"][0]),
+            float(m2["train_batch_loss"][0]), rtol=1e-4,
+        )
+        # step 2 runs on step-1's updated state: the sharded/unsharded
+        # reduction-order drift is amplified by the tiny-batch BatchNorm
+        # (same envelope as TestMultiStepDispatch); a routing/sharding bug
+        # diverges at O(1)
+        np.testing.assert_allclose(
+            np.asarray(m1["train_batch_loss"]),
+            np.asarray(m2["train_batch_loss"]), rtol=2.5e-2,
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-2, atol=1e-2
+            )
+        assert int(s1.step) == int(s2.step) == 2
+
+
 class TestFullModelTPEquivalence:
     """dp+tp sharded vs unsharded full-model train step equivalence: the
     model-axis with_sharding_constraint annotations (parallel/annotate.py)
