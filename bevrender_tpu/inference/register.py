@@ -113,6 +113,63 @@ class RegistrationPipeline:
 
         return step
 
+    def make_replay_scan(self):
+        """Offline trace replay: ONE jitted dispatch registers a whole
+        ordered frame sequence.
+
+        ``lax.scan`` carries the BEV state over a ``(T, B, V, H, W, 3)``
+        frame stack (streaming `encode_step` semantics — one encoder pass
+        per frame), registering every frame against the resident tile
+        database in a single device program. Amortizes the per-frame
+        dispatch/RPC cost of :meth:`make_streaming_step` for batch
+        re-localization of recorded traces; the reference has neither
+        streaming nor replay (it re-runs the full history window per sample,
+        bevrender.py:124-134).
+
+        Returns ``replay(variables, frames, pose_pairs, vtype, tiles) ->
+        (final_bev, (T, B) tile indices, (T, B) distances)`` where
+        ``pose_pairs`` is ``(T, B, 2, 3)`` (previous, current) per frame and
+        frame 0 starts with no carried BEV (TSA degenerates to
+        self-attention, TSA_deform_attn.py:141-143 parity).
+        """
+        net = self.model.net
+        refs = self.model.reference_points
+
+        def one(variables, frame, bev, pose_pair, vtype, tiles):
+            bev = net.apply(
+                variables, frame, bev, pose_pair, vtype, refs,
+                method=BEVRenderNet_encode_step,
+            )
+            out = net.apply(variables, bev, method=BEVRenderNet_decode)
+            emb = _l2n(self.embed_fn(out))
+            dist = 2.0 - 2.0 * emb @ tiles.T
+            return bev, jnp.argmin(dist, axis=-1), jnp.min(dist, axis=-1)
+
+        @jax.jit
+        def replay(variables, frames, pose_pairs, vtype, tiles):
+            # frame 0 has no carried state (prev_bev=None is a static arg,
+            # so it runs outside the scan); frames 1..T-1 scan over the
+            # carried BEV
+            bev, idx0, d0 = one(
+                variables, frames[0], None, pose_pairs[0], vtype, tiles
+            )
+
+            def body(bev, xs):
+                frame, pose_pair = xs
+                bev, idx, d = one(variables, frame, bev, pose_pair, vtype, tiles)
+                return bev, (idx, d)
+
+            bev, (idx, d) = jax.lax.scan(
+                body, bev, (frames[1:], pose_pairs[1:])
+            )
+            return (
+                bev,
+                jnp.concatenate([idx0[None], idx]),
+                jnp.concatenate([d0[None], d]),
+            )
+
+        return replay
+
     def render(self, batch: Dict[str, jax.Array]) -> jax.Array:
         """(B, T, V, H, W, 3) camera window -> (B, 224, 224, 3) aerial render."""
         return self._render(

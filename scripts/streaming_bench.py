@@ -110,8 +110,56 @@ def main() -> None:
                 "(full-window eval re-runs T=2 passes per frame; the "
                 "reference cannot stream at all)",
     }
-    (ROOT / "STREAMING_BENCH.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out), flush=True)
+
+    # --- trace replay (make_replay_scan): ONE dispatch re-localizes a whole
+    # recorded T-frame trace, vs the per-frame host dispatch a live caller
+    # of make_streaming_step pays. The device math is identical (proven by
+    # tests/test_inference.py::test_replay_scan_matches_streaming_chain);
+    # the delta is dispatch/RPC amortization, which on a tunnel-attached
+    # TPU is material. Wall-clock timing INCLUDING dispatch, as a real
+    # caller experiences it.
+    T = 16
+    replay = pipe.make_replay_scan()
+    frames = jnp.stack(
+        [frame * jnp.asarray(1.0 + t * 1e-9, frame.dtype) for t in range(T)]
+    )
+    pose_pairs = jnp.broadcast_to(pose_pair[None], (T,) + pose_pair.shape)
+
+    def replay_timed() -> float:
+        t0 = time.perf_counter()
+        _, idx, _ = replay(variables, frames, pose_pairs, vtype, tiles)
+        jax.block_until_ready(idx)
+        return time.perf_counter() - t0
+
+    print("compiling replay scan...", flush=True)
+    replay_timed()
+    replay_s = min(replay_timed() for _ in range(3))
+
+    def chain_timed() -> float:
+        bev = bev0
+        t0 = time.perf_counter()
+        for t in range(T):
+            bev, _, idx = step(variables, frames[t], bev, pose_pair, vtype,
+                               tiles)
+        jax.block_until_ready(idx)
+        return time.perf_counter() - t0
+
+    print("compiling per-frame step...", flush=True)
+    chain_timed()
+    chain_s = min(chain_timed() for _ in range(3))
+
+    out["replay"] = {
+        "trace_len": T,
+        "replay_ms_per_frame_batch": round(replay_s / T * 1e3, 2),
+        "replay_frames_per_sec": round(B * T / replay_s, 3),
+        "per_frame_dispatch_ms_per_frame_batch": round(chain_s / T * 1e3, 2),
+        "per_frame_dispatch_frames_per_sec": round(B * T / chain_s, 3),
+        "note": "wall-clock incl. host dispatch: one jitted lax.scan per "
+                "trace vs one RPC per frame (same device math)",
+    }
+    (ROOT / "STREAMING_BENCH.json").write_text(json.dumps(out, indent=1))
+    print(json.dumps(out["replay"]), flush=True)
 
 
 if __name__ == "__main__":

@@ -109,6 +109,42 @@ class TestRegistration:
             np.asarray(out), np.asarray(full), rtol=2e-4, atol=2e-5
         )
 
+    def test_replay_scan_matches_streaming_chain(self, pipeline):
+        """The one-dispatch trace replay (lax.scan carrying the BEV) must
+        return exactly the per-frame streaming chain's tile choices and the
+        same final BEV state — the claim that lets recorded traces be
+        re-localized in a single device program."""
+        pipe, ds, batch = pipeline
+        step = pipe.make_streaming_step()
+        replay = pipe.make_replay_scan()
+        tiles = jnp.eye(4, 32 * 32 * 3)
+        vtype = batch["vehicle_type"]
+        images, pose = batch["camera"], batch["vehicle_pose"]
+        T = images.shape[1]
+
+        # streaming chain, frame by frame (pose-pair rule as above)
+        bev = None
+        chain_idx = []
+        for t in range(T):
+            lo = min(t, T - 2)
+            bev, _, idx = step(pipe.variables, images[:, t], bev,
+                               pose[:, lo:lo + 2], vtype, tiles)
+            chain_idx.append(np.asarray(idx))
+
+        frames = jnp.moveaxis(images, 1, 0)  # (T, B, V, H, W, 3)
+        pose_pairs = jnp.stack(
+            [pose[:, min(t, T - 2):min(t, T - 2) + 2] for t in range(T)]
+        )  # (T, B, 2, 3)
+        final_bev, idx, dist = replay(
+            pipe.variables, frames, pose_pairs, vtype, tiles
+        )
+        assert idx.shape == (T, images.shape[0])
+        np.testing.assert_array_equal(np.asarray(idx), np.stack(chain_idx))
+        np.testing.assert_allclose(
+            np.asarray(final_bev), np.asarray(bev), rtol=2e-4, atol=2e-5
+        )
+        assert bool(jnp.isfinite(dist).all())
+
     def test_sharded_matcher_matches_unsharded(self, pipeline):
         """Mesh-sharded tile-DB matching (local top-k + all-gather merge)
         must return exactly the unsharded matcher's global top-k, including
