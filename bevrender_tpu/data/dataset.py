@@ -37,12 +37,15 @@ from bevrender_tpu.data.processor import (
 
 
 def _resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Host bilinear resize (half-pixel centers, like PIL/torchvision)."""
-    from PIL import Image
+    """Host bilinear (triangle-filter) resize, PIL BILINEAR semantics.
 
-    return np.asarray(
-        Image.fromarray(img).resize((w, h), Image.BILINEAR)
-    )
+    Served by the native C++ library (csrc/preprocess.cc) when built; falls
+    back to PIL. The native path keeps f32 precision between the separable
+    passes where PIL rounds to uint8, so results can differ from PIL by
+    <= 2/255 (documented, tested in tests/test_native_preproc.py)."""
+    from bevrender_tpu.data import native
+
+    return native.resize_u8(img, h, w)
 
 
 def _open_rgb(path: str):
@@ -141,13 +144,26 @@ class GPSDeniedDataset:
         return img
 
     def _frame_views(self, path: str) -> np.ndarray:
-        """Wide image -> (V, Hv, Wv, 3) float in [0,1], normalized."""
+        """Wide image -> (V, Hv, Wv, 3) float in [0,1], normalized.
+
+        One fused native pass (resize + view split + /255 + normalize,
+        csrc/preprocess.cc) when no augmentation runs (val/inference); with
+        augmentation the resize must happen first (augment operates on the
+        resized uint8 frame, reference dataset.py:185-207 order), so the
+        fused pass then covers split + normalize only."""
+        from bevrender_tpu.data import native
+
+        if self.augment.kind == "none" and self.resize_cmr_img:
+            raw = np.asarray(_open_rgb(path))
+            return native.fused_views(
+                raw, self.num_views, self.resize_img_height,
+                self.resize_img_width, self.img_norm_mean, self.img_norm_std,
+            )
         img = self.augment(self._load_wide_image(path))
         h, w, _ = img.shape
-        vw = w // self.num_views
-        views = img.reshape(h, self.num_views, vw, 3).transpose(1, 0, 2, 3)
-        views = views.astype(np.float32) / 255.0
-        return (views - self.img_norm_mean) / self.img_norm_std
+        return native.fused_views(
+            img, self.num_views, h, w, self.img_norm_mean, self.img_norm_std
+        )
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         window = self.datalist[index]
@@ -185,9 +201,12 @@ class GPSDeniedDataset:
         if self.raw_uint8:
             map_img = np.asarray(_open_rgb(frames[-1][REC_MAP_PATH]))
         else:
-            map_img = np.asarray(
-                _open_rgb(frames[-1][REC_MAP_PATH]), np.float32
-            ) / 255.0  # ToTensor only; no normalization (dataset.py:150-151)
+            from bevrender_tpu.data import native
+
+            # ToTensor only; no normalization (dataset.py:150-151)
+            map_img = native.to_unit_f32(
+                np.asarray(_open_rgb(frames[-1][REC_MAP_PATH]))
+            )
 
         return {
             "timestamp": np.int64(frames[-1][REC_TIMESTAMP]),

@@ -20,7 +20,11 @@ import numpy as np
 
 
 def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    from bevrender_tpu.data import native
+
+    # native.stack = one C memcpy per sample when shapes/dtypes agree
+    # (csrc/preprocess.cc); np.stack otherwise
+    return {k: native.stack([s[k] for s in samples]) for k in samples[0]}
 
 
 def group_batches(
