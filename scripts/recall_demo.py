@@ -62,6 +62,14 @@ def make_config(size: str, n: int) -> Config:
             bev_depth_dim=4,
             drop_path_rate=0.0,
         )
+    elif size == "flagship":
+        # the EXACT headline-bench config (bench.py / config.flagship_config:
+        # 7 stages, uniform BEV 28x28 at width 64, G up to 8, 3 views of
+        # 224x224) — ties the throughput headline and the north-star accuracy
+        # clause to ONE configuration
+        from bevrender_tpu.config import flagship_config
+
+        cfg = flagship_config()
     else:
         raise ValueError(size)
     cfg.data.window_num_imgs = 1
@@ -79,7 +87,7 @@ def _l2n(x):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", choices=("tiny", "mid"), default="mid")
+    ap.add_argument("--size", choices=("tiny", "mid", "flagship"), default="mid")
     ap.add_argument("--n", type=int, default=16, help="trace length / DB size")
     ap.add_argument("--max-steps", type=int, default=4000)
     ap.add_argument("--chunk", type=int, default=200,
