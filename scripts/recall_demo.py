@@ -128,8 +128,10 @@ def main() -> int:
     cfg.train.learning_rate = args.lr
     mdl = cfg.model
 
-    # render size = 4x BEV (decoder upsamples 2x2); tiles must match
-    map_tile = 4 * mdl.bev_shapes[-1]
+    # tiles must match the render size: the full BEVImageRenderDecoder always
+    # renders 224x224 (stem + enough x2 upsamples, decoder_img_render.py:50-88)
+    # while the tiny/mid SimpleDecoder upsamples 2x2 -> 4x BEV
+    map_tile = 224 if args.size == "flagship" else 4 * mdl.bev_shapes[-1]
     # the dataset's trace spans [m, world - m] with m = map_tile + img_height;
     # world must be comfortably larger than 2m or every pose collapses onto
     # one point and the retrieval task is degenerate (all tiles identical)
