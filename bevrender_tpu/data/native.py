@@ -36,10 +36,13 @@ _tried = False
 def _build_and_load() -> Optional[ctypes.CDLL]:
     if not _SRC.exists():
         return None
-    try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            _SO.parent.mkdir(parents=True, exist_ok=True)
-            tmp = _SO.with_suffix(".so.tmp")
+
+    def _compile() -> None:
+        _SO.parent.mkdir(parents=True, exist_ok=True)
+        # per-process tmp name: concurrent builders (pytest-xdist, loader
+        # processes) must not interleave g++ output into one file
+        tmp = _SO.with_suffix(f".so.{os.getpid()}.tmp")
+        try:
             subprocess.run(
                 [
                     "g++", "-O3", "-march=native", "-std=c++17", "-shared",
@@ -49,8 +52,22 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
                 capture_output=True,
                 timeout=120,
             )
-            os.replace(tmp, _SO)  # atomic: parallel test workers race here
-        lib = ctypes.CDLL(str(_SO))
+            os.replace(tmp, _SO)  # atomic publish
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            _compile()
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            # a stale/corrupt .so (e.g. from an interrupted build) would
+            # otherwise pin every future run to the slow fallback — rebuild
+            # once from scratch before giving up
+            _SO.unlink(missing_ok=True)
+            _compile()
+            lib = ctypes.CDLL(str(_SO))
         lib.bev_fused_views.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,

@@ -27,6 +27,7 @@
 // image), see bevrender_tpu/data/native.py.
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -185,12 +186,13 @@ void bev_resize_u8(const uint8_t* src, int hs, int ws, uint8_t* dst, int ho,
 
 // u8 -> f32 / 255 (map-tile ToTensor parity, dataset.py:150-151).
 void bev_u8_to_unit_f32(const uint8_t* src, float* dst, int64_t n) {
-  static float lut[256];
-  static bool init = false;
-  if (!init) {
-    for (int i = 0; i < 256; ++i) lut[i] = i * (1.0f / 255.0f);
-    init = true;
-  }
+  // C++11 magic static: thread-safe init (ctypes releases the GIL, so the
+  // threaded loader can enter here concurrently)
+  static const auto lut = [] {
+    std::array<float, 256> t{};
+    for (int i = 0; i < 256; ++i) t[i] = i * (1.0f / 255.0f);
+    return t;
+  }();
   for (int64_t i = 0; i < n; ++i) dst[i] = lut[src[i]];
 }
 

@@ -146,6 +146,57 @@ class TestAffineWarp:
         err = np.abs(np.asarray(out)[:, 5:12, 5:12] - np.asarray(bev)[:, 5:12, 5:12])
         assert err.mean() < 0.02
 
+    def test_bev_pose_convention_aligns_synthetic_trace(self):
+        """Pins the pose convention the flagship recall demo feeds the
+        eval-time ego-motion warp (scripts/recall_demo.py --pose-mode bev):
+        ``SyntheticGeoDataset.trace`` rows are (row, col, heading) world
+        pixels, while ``project_history_bev`` (reference parity,
+        model/encoder.py:413-466) wants torchvision (x, y) translations —
+        so (row, col) must be SWAPPED to (x=col, y=row) and scaled by
+        bev_size/map_tile, with sign +1. With that convention the warped
+        prev-pose BEV content matches the current-pose content far better
+        than no warp; with the un-swapped convention it does not."""
+        import jax
+
+        from bevrender_tpu.data.dataset import SyntheticGeoDataset
+
+        tile, bev = 32, 8
+        ds = SyntheticGeoDataset(
+            n_items=64, num_views=1, window_num_imgs=1, img_height=16,
+            img_width=16, map_tile=tile, world=256, noise=0.0, seed=0,
+            detail=0.5,
+        )
+        f = tile // bev
+        pool = lambda img: img.reshape(bev, f, bev, f, 3).mean(axis=(1, 3))
+        idx = list(range(1, 64, 9))
+        pb = np.stack([pool(ds._crop(*ds.trace[i - 1][:2], tile)) for i in idx])
+        cb = np.stack([pool(ds._crop(*ds.trace[i][:2], tile)) for i in idx])
+        pose_rc = np.stack(
+            [np.stack([ds.trace[i - 1][:2], ds.trace[i][:2]]) for i in idx]
+        ) * (bev / tile)
+        warp = jax.jit(project_history_bev)
+        m = 2  # interior: zero-fill borders excluded
+        mse = lambda a, b: float(np.mean((a[:, m:-m, m:-m] - b[:, m:-m, m:-m]) ** 2))
+        base = mse(pb, cb)
+
+        def run(xy):
+            pose = np.concatenate(
+                [xy, np.zeros_like(xy[..., :1])], axis=-1
+            ).astype(np.float32)
+            return mse(np.asarray(warp(jnp.asarray(pb.astype(np.float32)),
+                                       jnp.asarray(pose))), cb)
+
+        err_swap = run(pose_rc[:, :, ::-1])  # (row,col) -> (x,y): CORRECT
+        err_raw = run(pose_rc)               # unswapped: wrong axis order
+        assert err_swap < 0.3 * base, (
+            f"swapped-convention warp should beat no-warp: {err_swap:.5f} vs "
+            f"unwarped {base:.5f}"
+        )
+        assert err_swap < 0.5 * err_raw, (
+            f"swapped convention should beat raw (row,col) order: "
+            f"{err_swap:.5f} vs {err_raw:.5f}"
+        )
+
 
 class TestMultiVehicleType:
     def test_model_selects_per_type_reference_points(self):

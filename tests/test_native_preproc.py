@@ -131,7 +131,8 @@ def test_stack_matches_numpy():
     rng = np.random.default_rng(5)
     arrs = [rng.standard_normal((3, 4)).astype(np.float32) for _ in range(5)]
     np.testing.assert_array_equal(native.stack(arrs), np.stack(arrs))
-    # scalar fields (timestamp) and mixed shapes fall back to np.stack
+    # same-dtype scalars take the native memcpy path; mixed dtypes/shapes
+    # fall back to np.stack — either way the result must equal np.stack
     scalars = [np.int64(7), np.int64(9)]
     np.testing.assert_array_equal(native.stack(scalars), np.stack(scalars))
     mixed = [np.zeros((2, 2), np.float32), np.zeros((2, 2), np.float64)]
@@ -165,7 +166,6 @@ def test_dataset_uses_native_path(tmp_path):
     wp, mp = tmp_path / "w.png", tmp_path / "m.png"
     Image.fromarray(wide).save(wp)
     Image.fromarray(tile).save(mp)
-    rec = [0, 1.0, 2.0, 0.1, str(wp), str(mp), 0, 0, 0, 0, 0, 0]
     from bevrender_tpu.data.processor import REC_RGB_PATH, REC_MAP_PATH
 
     rec = [0] * 12
