@@ -44,12 +44,13 @@ ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(ROOT))
 
 PEAK_BF16_TFLOPS = 197.0  # TPU v5e
+PEAK_HBM_GBPS = 819.0  # TPU v5e HBM bandwidth (8.1e11 B/s, scaling-book value)
 FLOPS_CACHE = ROOT / ".jax_cache" / "flops_cache.json"
 
 
 def _flops_key(eval_b: int) -> str:
-    # v2: mm-form K/V sampling
-    return f"flagship_u28_bf16_evalB{eval_b}T2_trainB2T2_v2"
+    # v3: adds bytes-accessed (HBM roofline position)
+    return f"flagship_u28_bf16_evalB{eval_b}T2_trainB2T2_v3"
 
 
 def _headline_eval_batch() -> int:
@@ -162,12 +163,23 @@ def _build_train_setup():
     return trainer, tbatch
 
 
-def _cost_flops(lowered) -> float:
+def _cost_props(lowered) -> dict:
+    """XLA cost analysis of a lowered step: flops + bytes accessed.
+
+    ``bytes accessed`` is XLA's post-fusion operand+output traffic estimate —
+    for the Pallas site kernels it is exactly their HBM-side buffer traffic
+    (everything else stays in VMEM scratch). Dividing by measured step time
+    gives achieved HBM GB/s for the roofline position (VERDICT r3 item 2)."""
     ca = lowered.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     if ca is None:  # the axon AOT client returns no analysis — use fallbacks
-        return 0.0
-    return float(ca.get("flops", 0.0))
+        return {}
+    out = {}
+    if ca.get("flops", 0.0) > 0:
+        out["flops"] = float(ca["flops"])
+    if ca.get("bytes accessed", 0.0) > 0:
+        out["bytes"] = float(ca["bytes accessed"])
+    return out
 
 
 def _flops_only() -> None:
@@ -191,9 +203,11 @@ def _flops_only() -> None:
     camera = jnp.asarray(batch["camera"])
     pose = jnp.asarray(batch["vehicle_pose"])
     vtype = jnp.asarray(batch["vehicle_type"])
-    out["eval_flops"] = _cost_flops(
+    props = _cost_props(
         jax.jit(render_register).lower(variables, camera, pose, vtype, tiles)
     )
+    out["eval_flops"] = props.get("flops")
+    out["eval_bytes"] = props.get("bytes")
 
     trainer, tbatch = _build_train_setup()
     tvar_shapes = jax.eval_shape(
@@ -212,11 +226,13 @@ def _flops_only() -> None:
         step=jnp.zeros((), jnp.int32),
     )
     dev_batch = {k: jnp.asarray(v) for k, v in tbatch.items()}
-    out["train_flops"] = _cost_flops(
+    tprops = _cost_props(
         jax.jit(trainer._train_step_impl).lower(
             state, dev_batch, jax.random.PRNGKey(2)
         )
     )
+    out["train_flops"] = tprops.get("flops")
+    out["train_bytes"] = tprops.get("bytes")
     print(json.dumps(out), flush=True)
 
 
@@ -233,14 +249,17 @@ def _get_flops(eval_lowered=None, train_lowered=None, eval_b: int = 4) -> dict:
         except (json.JSONDecodeError, OSError) as e:
             print(f"flops cache unreadable: {e!r}", file=sys.stderr)
 
-    out = {"key": key, "eval_flops": None, "train_flops": None}
+    out = {"key": key, "eval_flops": None, "train_flops": None,
+           "eval_bytes": None, "train_bytes": None}
     for name, lowered in (("eval", eval_lowered), ("train", train_lowered)):
         if lowered is None:
             continue
         try:
-            f = _cost_flops(lowered)
-            if f > 0:
-                out[f"{name}_flops"] = f
+            props = _cost_props(lowered)
+            if props.get("flops"):
+                out[f"{name}_flops"] = props["flops"]
+            if props.get("bytes"):
+                out[f"{name}_bytes"] = props["bytes"]
         except Exception as e:
             print(f"in-process {name} cost_analysis failed: {e!r}",
                   file=sys.stderr)
@@ -257,9 +276,10 @@ def _get_flops(eval_lowered=None, train_lowered=None, eval_b: int = 4) -> dict:
             )
             if proc.returncode == 0:
                 sub = json.loads(proc.stdout.strip().splitlines()[-1])
-                for name in ("eval", "train"):
-                    if out[f"{name}_flops"] is None:
-                        out[f"{name}_flops"] = sub.get(f"{name}_flops")
+                for field in ("eval_flops", "train_flops",
+                              "eval_bytes", "train_bytes"):
+                    if out[field] is None:
+                        out[field] = sub.get(field)
             else:
                 print("flops subprocess failed:\n" + proc.stderr[-2000:],
                       file=sys.stderr)
@@ -430,6 +450,9 @@ def main():
     mfu = None
     if flops.get("eval_flops"):
         mfu = flops["eval_flops"] / (eval_ms / 1e3) / (PEAK_BF16_TFLOPS * 1e12)
+    eval_gbps = None
+    if flops.get("eval_bytes"):
+        eval_gbps = flops["eval_bytes"] / (eval_ms / 1e3) / 1e9
 
     baseline = _torch_baseline_fps()
     vs = fps / baseline if baseline == baseline and baseline > 0 else None
@@ -457,6 +480,9 @@ def main():
                 flops["train_flops"] / (train_ms / 1e3)
                 / (PEAK_BF16_TFLOPS * 1e12)
             )
+        train_gbps = None
+        if train_ms and flops.get("train_bytes"):
+            train_gbps = flops["train_bytes"] / (train_ms / 1e3) / 1e9
         return {
             "metric": (
                 "BEV render+register throughput "
@@ -481,6 +507,20 @@ def main():
             "mfu": round(mfu, 5) if mfu else None,
             "train_mfu": round(train_mfu, 5) if train_mfu else None,
             "peak_bf16_tflops": PEAK_BF16_TFLOPS,
+            # achieved HBM bandwidth = XLA bytes-accessed / measured time,
+            # vs the v5e 819 GB/s peak — the roofline position that backs
+            # (or refutes) the "bandwidth-bound" MFU story. A LOW fraction
+            # here too means the model is occupancy/latency-bound, not
+            # HBM-bound (see SITE_STAGE_BENCH.json stage attribution).
+            "eval_hbm_gbps": round(eval_gbps, 1) if eval_gbps else None,
+            "eval_hbm_util": (
+                round(eval_gbps / PEAK_HBM_GBPS, 4) if eval_gbps else None
+            ),
+            "train_hbm_gbps": round(train_gbps, 1) if train_gbps else None,
+            "train_hbm_util": (
+                round(train_gbps / PEAK_HBM_GBPS, 4) if train_gbps else None
+            ),
+            "peak_hbm_gbps": PEAK_HBM_GBPS,
             "baseline_fps": (
                 round(baseline, 5) if baseline == baseline else None
             ),

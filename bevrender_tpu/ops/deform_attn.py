@@ -590,8 +590,10 @@ def _fused_site_impl(q, k, v, k_pos, rpe_table, H, W, scale, interpret):
 
     from bevrender_tpu.ops.pallas.fused_attn import (
         fused_site_call,
-        fused_site_call_dma,
         fused_site_call_sh,
+    )
+    from bevrender_tpu.ops.pallas.experimental import (  # A/B-rejected
+        fused_site_call_dma,
         fused_site_call_v2,
     )
 
@@ -610,7 +612,7 @@ def _fused_site_impl(q, k, v, k_pos, rpe_table, H, W, scale, interpret):
     qcm = jnp.swapaxes(q, -1, -2)  # (B, G, Hpg, ch, M): queries on lanes
 
     if use_shift_replica(rpe_table.shape, H, W):
-        from bevrender_tpu.ops.pallas.fused_attn import fused_site_call_sh2
+        from bevrender_tpu.ops.pallas.experimental import fused_site_call_sh2
 
         WHl = Hpg * W
         # row-folded variant (sh2): one whole-row y-mix store per query row
@@ -718,10 +720,8 @@ def _fused_site_train_fwd_impl(q, k, v, k_pos, rpe_table, H, W, scale,
                                interpret):
     import os
 
-    from bevrender_tpu.ops.pallas.fused_attn import (
-        fused_site_call_lse,
-        fused_site_call_v2_lse,
-    )
+    from bevrender_tpu.ops.pallas.fused_attn import fused_site_call_lse
+    from bevrender_tpu.ops.pallas.experimental import fused_site_call_v2_lse
 
     # the training forward follows the eval site-variant knob by default
     # (the v2 head-folded kernel emits the same per-(head, query) lse

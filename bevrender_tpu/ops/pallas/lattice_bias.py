@@ -174,7 +174,7 @@ def _fwd_kernel_dma(
     H: int, W: int, Hpg: int, TN: int, Np: int, nreal: int,
 ):
     """``_fwd_kernel`` with DMA-prefetched window extraction (same scheme as
-    ops/pallas/fused_attn._site_kernel_dma: tile t+1's windows drain on the
+    ops/pallas/experimental._site_kernel_dma: tile t+1's windows drain on the
     DMA engines while tile t's mix/y-mix runs on the VPU)."""
     NT = Np // TN
     t = pl.program_id(1)

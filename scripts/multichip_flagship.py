@@ -1,0 +1,43 @@
+"""Flagship-shape multichip dryrun artifact (VERDICT r3 item 8).
+
+Runs ``__graft_entry__.dryrun_flagship_trace`` on the 8-device virtual CPU
+mesh — AOT-compiling the flagship train step under the 4x2 data x model
+sharding — and records the result in MULTICHIP_FLAGSHIP.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from __graft_entry__ import dryrun_flagship_trace  # noqa: E402
+
+t0 = time.perf_counter()
+note = dryrun_flagship_trace(8)
+elapsed = time.perf_counter() - t0
+out = {
+    "ok": True,
+    "n_devices": 8,
+    "result": note,
+    "compile_s": round(elapsed, 1),
+    "note": "flagship-shape train step traced + GSPMD-partitioned + "
+            "compiled on the virtual 4x2 data x model mesh (execution "
+            "skipped: 1-core host; numerics covered by the tiny dryrun "
+            "and the on-chip benches)",
+}
+(ROOT / "MULTICHIP_FLAGSHIP.json").write_text(json.dumps(out, indent=1))
+print(json.dumps(out))

@@ -65,11 +65,12 @@ def make_config(size: str, n: int) -> Config:
     elif size == "flagship":
         # the EXACT headline-bench config (bench.py / config.flagship_config:
         # 7 stages, uniform BEV 28x28 at width 64, G up to 8, 3 views of
-        # 224x224) — ties the throughput headline and the north-star accuracy
-        # clause to ONE configuration
+        # 224x224, bf16 compute like the headline) — ties the throughput
+        # headline and the north-star accuracy clause to ONE configuration
         from bevrender_tpu.config import flagship_config
 
         cfg = flagship_config()
+        cfg.model.dtype = "bfloat16"
     else:
         raise ValueError(size)
     cfg.data.window_num_imgs = 1
@@ -89,6 +90,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", choices=("tiny", "mid", "flagship"), default="mid")
     ap.add_argument("--n", type=int, default=16, help="trace length / DB size")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="device minibatch size for training/eval. 0 = full "
+                         "batch (= --n). The flagship train step OOMs above "
+                         "B~8 on one v5e chip, so --batch 8 trains on "
+                         "cycling minibatches while recall is still "
+                         "evaluated against ALL --n database tiles")
     ap.add_argument("--max-steps", type=int, default=4000)
     ap.add_argument("--chunk", type=int, default=200,
                     help="steps per jitted lax.fori_loop chunk")
@@ -174,23 +181,42 @@ def main() -> int:
                 [xy, np.zeros_like(xy[:, :, :1])], axis=-1
             ).astype(np.float32)
 
+    mb = args.batch or n
+    assert n % mb == 0, f"--n {n} must be a multiple of --batch {mb}"
+    nb = n // mb
+    cfg.train.batch_size = mb
+
     model = BEVRenderModel(cfg)
     trainer = Trainer(model, cfg, ds)
-    state = trainer.create_state(jax.random.PRNGKey(0), batch)
+    first = {k: v[:mb] for k, v in batch.items()}
+    state = trainer.create_state(jax.random.PRNGKey(0), first)
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     dev_val = {k: jnp.asarray(v) for k, v in val_batch.items()}
+    # training minibatches: (nb, mb, ...) stacked on device; the chunk loop
+    # cycles them so every item trains while the step fits one chip's HBM
+    dev_mbs = {
+        k: jnp.reshape(v, (nb, mb) + v.shape[1:]) for k, v in dev_batch.items()
+    }
 
     def recalls(state, b):
-        metrics, cam_e, map_e, _ = trainer._eval_step(state, b)
+        # eval in --batch-sized chunks (the flagship forward at B=n would
+        # OOM); embeddings concatenate on host, recall runs over ALL n tiles
+        cams, maps, losses = [], [], []
+        for j in range(nb):
+            sub = {k: v[j * mb : (j + 1) * mb] for k, v in b.items()}
+            metrics, cam_e, map_e, _ = trainer._eval_step(state, sub)
+            cams.append(np.asarray(cam_e))
+            maps.append(np.asarray(map_e))
+            losses.append(float(metrics["val_batch_loss"]))
         r = recall_at_k(
-            jnp.asarray(_l2n(np.asarray(cam_e))),
-            jnp.asarray(_l2n(np.asarray(map_e))),
+            jnp.asarray(_l2n(np.concatenate(cams))),
+            jnp.asarray(_l2n(np.concatenate(maps))),
             (1, 5, 10),
         )
-        return [float(x) for x in r], float(metrics["val_batch_loss"])
+        return [float(x) for x in r], float(np.mean(losses))
 
     @jax.jit
-    def train_chunk(state, batch, rng, n_steps):
+    def train_chunk(state, batches, rng, n_steps):
         zero = {
             "train_batch_loss": jnp.float32(0.0),
             "train_batch_render_loss": jnp.float32(0.0),
@@ -200,8 +226,14 @@ def main() -> int:
 
         def body(i, carry):
             st, _ = carry
+            b = {
+                k: jax.lax.dynamic_index_in_dim(
+                    v, i % nb, axis=0, keepdims=False
+                )
+                for k, v in batches.items()
+            }
             st, metrics, _ = trainer._train_step_impl(
-                st, batch, jax.random.fold_in(rng, i)
+                st, b, jax.random.fold_in(rng, i)
             )
             return (st, {k: metrics[k].astype(jnp.float32) for k in zero})
         return jax.lax.fori_loop(0, n_steps, body, (state, zero))
@@ -243,7 +275,7 @@ def main() -> int:
     steps = 0
     while steps < args.max_steps:
         state, m = train_chunk(
-            state, dev_batch, jax.random.fold_in(rng, steps), jnp.int32(args.chunk)
+            state, dev_mbs, jax.random.fold_in(rng, steps), jnp.int32(args.chunk)
         )
         steps += args.chunk
         r1, v1 = record(steps, {k: float(v) for k, v in m.items()}, t0)
@@ -257,6 +289,7 @@ def main() -> int:
         "size": args.size,
         "pose_mode": mode,
         "n_database_tiles": n,
+        "device_batch": mb,
         "chance_pct": chance,
         "bar_5x_chance_pct": 5 * chance,
         "final": final,

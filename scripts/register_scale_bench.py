@@ -1,0 +1,214 @@
+"""Registration at production database scale (VERDICT r3 item 5).
+
+The use case (reference README.md:1, train.py:551-572) is matching a
+rendered aerial view against a geo-registered map DATABASE — thousands of
+tiles, not the <=64 every earlier artifact used. This bench stresses the
+resident (N, D) matmul design at 1k..16k tiles on the real chip:
+
+  * ``match`` query latency (top-k over the database) vs N, at the flagship
+    embedding dim D = 3*224*224 = 150528 — the matmul the MXU actually runs;
+  * end-to-end ``register`` latency (render + embed + match) at B=4;
+  * database HBM residency (bf16 vs f32);
+  * sharded-matcher exactness vs the single-device matcher at 16k tiles on
+    the 8-device CPU mesh (``--mode exact``; run separately so the chip
+    numbers above are unpolluted).
+
+Usage:
+  python scripts/register_scale_bench.py --mode latency   # on the TPU
+  python scripts/register_scale_bench.py --mode exact     # CPU mesh
+  python scripts/register_scale_bench.py --mode merge     # combine JSONs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+OUT = ROOT / "REGISTER_SCALE_BENCH.json"
+PART_LAT = Path("/tmp/register_scale_latency.json")
+PART_EXACT = Path("/tmp/register_scale_exact.json")
+
+DB_SIZES = (1024, 4096, 8192, 16384)
+D_FLAGSHIP = 3 * 224 * 224  # render embedding dim (224x224 RGB aerial view)
+
+
+def _synth_db(n: int, d: int, dtype, seed: int = 0):
+    """Unit-norm synthetic embedding database built on device in chunks
+    (16k x 150k f32 is 9.6 GB — generate directly at the target dtype)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chunk(key):
+        e = jax.random.normal(key, (1024, d), jnp.float32)
+        e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+        return e.astype(dtype)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n // 1024)
+    return jnp.concatenate([chunk(k) for k in keys], axis=0)
+
+
+def mode_latency() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bevrender_tpu.config import flagship_config
+    from bevrender_tpu.data.dataset import SyntheticDataset
+    from bevrender_tpu.inference.register import RegistrationPipeline
+    from bevrender_tpu.utils.timing import device_bench
+
+    cfg = flagship_config()
+    cfg.model.dtype = "bfloat16"
+    cfg.data.window_num_imgs = 1
+    B = 4
+    ds = SyntheticDataset(
+        n_items=B, num_views=cfg.model.num_views, window_num_imgs=1,
+        img_height=cfg.model.img_height, img_width=cfg.model.img_width,
+        map_tile=224,
+    )
+    batch = {k: np.stack([ds[i][k] for i in range(B)]) for k in ds[0]}
+    from bevrender_tpu.models.bevrender import BEVRenderModel
+
+    model = BEVRenderModel(cfg, mode="inference")
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    pipe = RegistrationPipeline(cfg, variables)
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    q = jax.random.normal(jax.random.PRNGKey(7), (B, D_FLAGSHIP), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+    rows = []
+    for n in DB_SIZES:
+        row = {"n_tiles": n}
+        for dt, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
+            if name == "f32" and n * D_FLAGSHIP * 4 > 12e9:
+                row[f"db_{name}"] = {
+                    "skipped": "database alone would exceed HBM headroom"
+                }
+                continue
+            db = _synth_db(n, D_FLAGSHIP, dt)
+            db_bytes = n * D_FLAGSHIP * db.dtype.itemsize
+            match_ms = device_bench(
+                lambda qq, dd: pipe._match(qq, dd, 10), q, db, target_s=1.0
+            )
+            row[f"db_{name}"] = {
+                "db_gb": round(db_bytes / 1e9, 3),
+                "match_ms_b4": round(match_ms, 3),
+                "match_gbps": round(db_bytes / (match_ms / 1e3) / 1e9, 1),
+            }
+            del db
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # end-to-end register (render + embed + match) at the largest bf16 DB:
+    # one wall-clock dispatch pair, the serving-path latency a user sees
+    pipe._tile_db = _synth_db(DB_SIZES[-1], D_FLAGSHIP, jnp.bfloat16)
+    pipe.register(dev_batch, top_k=10)  # compile
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        _, idx, _ = pipe.register(dev_batch, top_k=10)
+        np.asarray(idx)
+    e2e_ms = (time.perf_counter() - t0) / reps * 1e3
+    out = {
+        "config": (
+            f"flagship uniform-28 bf16 render, B={B}, D={D_FLAGSHIP}, "
+            "synthetic unit-norm DB, TPU v5e"
+        ),
+        "per_db_size": rows,
+        "register_e2e_ms_16k_bf16": round(e2e_ms, 2),
+        "register_e2e_fps": round(B / (e2e_ms / 1e3), 2),
+        "device": str(jax.devices()[0].platform),
+    }
+    PART_LAT.write_text(json.dumps(out, indent=1))
+    print(f"wrote {PART_LAT}", flush=True)
+
+
+def mode_exact() -> None:
+    import os
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bevrender_tpu.config import tiny_model_config, Config
+    from bevrender_tpu.inference.register import RegistrationPipeline
+    from bevrender_tpu.parallel.mesh import make_mesh
+
+    # D reduced (exactness does not depend on D; 1-core host): what is under
+    # test is the local-top-k + all-gather merge staying EXACT at 16k rows
+    D = 512
+    cfg = Config()
+    cfg.model = tiny_model_config()
+    pipe = RegistrationPipeline.__new__(RegistrationPipeline)  # matcher only
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(11)
+    n = DB_SIZES[-1]
+    db = jnp.asarray(rng.standard_normal((n, D)), jnp.float32)
+    db = db / jnp.linalg.norm(db, axis=-1, keepdims=True)
+    q = jnp.asarray(rng.standard_normal((4, D)), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+    ref_d = 2.0 - 2.0 * np.asarray(q) @ np.asarray(db).T
+    ref_idx = np.argsort(ref_d, axis=-1)[:, :10]
+
+    matcher = RegistrationPipeline.make_sharded_matcher(
+        pipe, mesh, top_k=10
+    )
+    dbp, nreal = RegistrationPipeline.pad_tile_db(db, 8)
+    idx, dist = matcher(q, dbp, jnp.int32(nreal))
+    exact = bool((np.asarray(idx) == ref_idx).all())
+    out = {
+        "n_tiles": n,
+        "d": D,
+        "mesh": "8-device CPU (virtual)",
+        "sharded_matcher_exact_vs_host_argsort": exact,
+        "max_dist_err": float(
+            np.max(np.abs(np.asarray(dist)
+                          - np.take_along_axis(ref_d, ref_idx, 1)))
+        ),
+    }
+    assert exact, "sharded matcher diverged from host argsort at 16k tiles"
+    PART_EXACT.write_text(json.dumps(out, indent=1))
+    print(json.dumps(out), flush=True)
+
+
+def mode_merge() -> None:
+    out = {
+        "metric": "registration query latency + matcher exactness vs "
+                  "database size (north-star render+register loop, "
+                  "reference train.py:551-572 at production DB scale)",
+    }
+    if PART_LAT.exists():
+        out["latency_tpu"] = json.loads(PART_LAT.read_text())
+    if PART_EXACT.exists():
+        out["exactness_cpu_mesh"] = json.loads(PART_EXACT.read_text())
+    OUT.write_text(json.dumps(out, indent=1))
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("latency", "exact", "merge"),
+                    required=True)
+    args = ap.parse_args()
+    {"latency": mode_latency, "exact": mode_exact, "merge": mode_merge}[
+        args.mode
+    ]()

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bevrender_tpu.ops.deform_attn import _kernel_inputs
-from bevrender_tpu.ops.pallas.fused_attn import (
-    fused_site_call,
+from bevrender_tpu.ops.pallas.fused_attn import fused_site_call
+from bevrender_tpu.ops.pallas.experimental import (
     fused_site_call_dma,
     fused_site_call_v2,
 )

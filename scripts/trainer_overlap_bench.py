@@ -46,6 +46,53 @@ import numpy as np
 from bevrender_tpu.utils import enable_compilation_cache
 
 
+def _png_dataset(n_items: int, bs: int):
+    """On-disk PNG+CSV trace -> GPSDeniedDataset at the mid-config shapes
+    (2 views of 64x64, T=2, 64px map tiles). Source frames are written at
+    2x the target size so the loader really resizes (the native fused
+    resize+split+normalize path, csrc/preprocess.cc)."""
+    import tempfile
+
+    from PIL import Image
+
+    from bevrender_tpu.data.dataset import GPSDeniedDataset
+    from bevrender_tpu.data.processor import DatasetProcessor
+
+    root = Path(tempfile.mkdtemp(prefix="overlap_png_"))
+    (root / "rgb").mkdir()
+    (root / "map").mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    ts = 1_700_000_000_000_000
+    n_frames = n_items + 2
+    for i in range(n_frames):
+        rows.append([ts, 0, 500.0 + 0.1 * i, 400.0 + 0.1 * i, -10.0, 0.0,
+                     0.0, 0.0])
+        wide = rng.integers(0, 256, (128, 2 * 128, 3), dtype=np.uint8)
+        Image.fromarray(wide).save(root / "rgb" / f"{ts}.png")
+        tile = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(tile).save(root / "map" / f"{ts}.png")
+        ts += 250_000
+    np.savetxt(root / "gps.csv", np.asarray(rows, np.float64), delimiter=",")
+    proc = DatasetProcessor(
+        gps_file_path=str(root / "gps.csv"),
+        rgb_img_dir=str(root / "rgb"),
+        map_img_dir=str(root / "map"),
+        jgw_info=(1.0, 0.0, 0.0, -1.0, 0.0, 1000.0),
+        map_width=1200, map_height=1200,
+        window_timespin=1.0 * 1e6,
+        window_num_imgs=1,
+        overlap=True,
+    )
+    windows = proc.process_windows()
+    assert len(windows) >= n_items, (len(windows), n_items)
+    return GPSDeniedDataset(
+        windows, mode="train", data_augmentation="none", num_views=2,
+        window_num_imgs=1, resize_cmr_img=True, resize_img_height=64,
+        resize_img_width=128, map_tile=64, seed=0,
+    )
+
+
 def main():
     enable_compilation_cache()
     assert jax.default_backend() == "tpu"
@@ -64,10 +111,20 @@ def main():
         help="k>1 measures the grouped-dispatch Trainer path "
              "(TrainConfig.steps_per_dispatch): k scanned steps per RPC",
     )
+    ap.add_argument(
+        "--dataset", choices=("synthetic", "png"), default="synthetic",
+        help="'png' drives real GPSDeniedDataset.__getitem__ batches from "
+             "an on-disk PNG+CSV trace (decode + native fused "
+             "resize/split/normalize in the loader threads) — measured "
+             "twice, with the native C++ host preprocess and with the "
+             "PIL fallback (BEV_NATIVE=0), so the 'residual overhead is "
+             "host batch generation' claim becomes a measurement "
+             "(VERDICT r3 item 7)",
+    )
     args = ap.parse_args()
 
     bs = 16
-    n_steps = 50
+    n_steps = 50 if args.dataset == "synthetic" else 30
     cfg = make_config("mid", bs)  # same shapes as the recall demo: cached
     cfg.train.steps_per_dispatch = args.steps_per_dispatch
     cfg.train.save_ckpt = False
@@ -77,18 +134,26 @@ def main():
     cfg.train.log_every_steps = 10
     cfg.data.on_device_preprocess = "cast"  # uint8 transfer, cast on device
     n_items = bs * n_steps * 50 // 49 + bs  # >= n_steps train batches
-    ds = SyntheticGeoDataset(
-        n_items=n_items, num_views=2, window_num_imgs=1,
-        img_height=64, img_width=64, map_tile=64, world=4096, noise=0.02,
-        seed=0, raw_uint8=True,
-    )
+    if args.dataset == "png":
+        ds = _png_dataset(n_items, bs)
+        cfg.data.on_device_preprocess = "none"  # f32 from the host pipeline
+    else:
+        ds = SyntheticGeoDataset(
+            n_items=n_items, num_views=2, window_num_imgs=1,
+            img_height=64, img_width=64, map_tile=64, world=4096, noise=0.02,
+            seed=0, raw_uint8=True,
+        )
     model = BEVRenderModel(cfg)
     trainer = Trainer(model, cfg, ds)
     batch_u8 = collate([ds[i] for i in range(bs)])
-    # float twin of the batch for state creation and the resident raw loop
-    batch = dict(batch_u8)
-    for k in ("camera", "map"):
-        batch[k] = batch_u8[k].astype(np.float32) / 255.0
+    if args.dataset == "png":
+        # GPSDeniedDataset emits normalized f32 already
+        batch = batch_u8
+    else:
+        # float twin of the batch for state creation and the resident raw loop
+        batch = dict(batch_u8)
+        for k in ("camera", "map"):
+            batch[k] = batch_u8[k].astype(np.float32) / 255.0
     state = trainer.create_state(jax.random.PRNGKey(0), batch)
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
@@ -142,29 +207,51 @@ def main():
     import sklearn.model_selection  # noqa: F401 — train() imports it lazily;
     # on this 1-core host the cold import costs ~10 s and is NOT loop overhead
 
-    state_b = trainer.create_state(jax.random.PRNGKey(0), batch)
-    # warm the epoch-path compiles (jitted _train_step with donation + cast)
-    from bevrender_tpu.data.prefetch import device_prefetch
+    def timed_trainer_loop():
+        state_b = trainer.create_state(jax.random.PRNGKey(0), batch)
+        # warm the epoch-path compiles (jitted _train_step, donation + cast)
+        from bevrender_tpu.data.prefetch import device_prefetch
 
-    warm_iter = iter([{k: np.asarray(v) for k, v in batch_u8.items()}])
-    wb = next(device_prefetch(warm_iter, preprocess=trainer.preprocess))
-    state_b, _, _ = trainer._train_step(state_b, wb, jax.random.PRNGKey(3))
+        warm_iter = iter([{k: np.asarray(v) for k, v in batch_u8.items()}])
+        wb = next(device_prefetch(warm_iter, preprocess=trainer.preprocess))
+        state_b, _, _ = trainer._train_step(state_b, wb, jax.random.PRNGKey(3))
 
-    if cfg.train.steps_per_dispatch > 1:
-        # the grouped path compiles its own scanned executables (one per
-        # distinct group size, incl. the trailing partial group); run one
-        # untimed epoch so the timed window measures steady state, exactly
-        # like the k=1 path whose single-step executable is warmed above
-        state_b = trainer.train(state_b, apply_validation=False, max_epochs=2)
+        if cfg.train.steps_per_dispatch > 1:
+            # the grouped path compiles its own scanned executables (one per
+            # distinct group size, incl. the trailing partial group); run one
+            # untimed epoch so the timed window measures steady state, exactly
+            # like the k=1 path whose single-step executable is warmed above
+            state_b = trainer.train(
+                state_b, apply_validation=False, max_epochs=2
+            )
+            jax.block_until_ready(
+                jax.tree_util.tree_leaves(state_b.params)[0]
+            )
+
+        warm_steps = int(state_b.step)
+        t0 = time.perf_counter()
+        state_b = trainer.train(state_b, apply_validation=False, max_epochs=3)
         jax.block_until_ready(jax.tree_util.tree_leaves(state_b.params)[0])
+        wall = time.perf_counter() - t0
+        steps_done = int(state_b.step) - warm_steps
+        return wall / max(steps_done, 1) * 1e3, steps_done
 
-    warm_steps = int(state_b.step)
-    t0 = time.perf_counter()
-    state_b = trainer.train(state_b, apply_validation=False, max_epochs=3)
-    jax.block_until_ready(jax.tree_util.tree_leaves(state_b.params)[0])
-    wall = time.perf_counter() - t0
-    steps_done = int(state_b.step) - warm_steps
-    loop_ms = wall / max(steps_done, 1) * 1e3
+    import os
+
+    native_loop = None
+    if args.dataset == "png":
+        from bevrender_tpu.data import native as native_mod
+
+        assert native_mod.available(), "native preprocess failed to build"
+        loop_ms, steps_done = timed_trainer_loop()   # native C++ host path
+        native_loop = loop_ms
+        os.environ["BEV_NATIVE"] = "0"
+        try:
+            pil_loop, _ = timed_trainer_loop()       # PIL/numpy fallback
+        finally:
+            del os.environ["BEV_NATIVE"]
+    else:
+        loop_ms, steps_done = timed_trainer_loop()
 
     out = {
         "raw_fori_loop_ms_per_step": round(raw_ms, 2),
@@ -187,13 +274,28 @@ def main():
             "cost"
         ),
     }
+    if args.dataset == "png":
+        out["dataset"] = (
+            "on-disk PNG+CSV trace via GPSDeniedDataset (real decode + "
+            "resize + view-split + normalize in the loader threads)"
+        )
+        out["trainer_loop_ms_native"] = round(native_loop, 2)
+        out["trainer_loop_ms_pil"] = round(pil_loop, 2)
+        out["native_vs_pil_loop_speedup"] = round(pil_loop / native_loop, 3)
+        out["overhead_pct_native"] = round(
+            (native_loop / raw_ms - 1.0) * 100.0, 1
+        )
+        out["overhead_pct_pil"] = round((pil_loop / raw_ms - 1.0) * 100.0, 1)
     print(json.dumps(out), flush=True)
+    suffix = "_png" if args.dataset == "png" else ""
     if cfg.train.steps_per_dispatch > 1:
         # grouped-dispatch variant (--steps-per-dispatch k): recorded as a
         # sibling artifact so the k=1 baseline stays comparable across rounds
-        path = ROOT / f"TRAINER_OVERLAP_k{cfg.train.steps_per_dispatch}.json"
+        path = ROOT / (
+            f"TRAINER_OVERLAP_k{cfg.train.steps_per_dispatch}{suffix}.json"
+        )
     else:
-        path = ROOT / "TRAINER_OVERLAP.json"
+        path = ROOT / f"TRAINER_OVERLAP{suffix}.json"
     path.write_text(json.dumps(out, indent=1))
 
 

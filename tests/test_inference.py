@@ -162,7 +162,7 @@ class TestRegistration:
             q = jnp.asarray(rng.standard_normal((3, D)), jnp.float32)
             q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
-            idx_ref, dist_ref = pipe._match(q, db)
+            idx_ref, dist_ref = pipe._match(q, db, n_tiles)
             matcher = pipe.make_sharded_matcher(mesh, top_k=top_k)
             dbp, nreal = pipe.pad_tile_db(db, mesh.shape["data"])
             idx_got, dist_got = matcher(q, dbp, jnp.int32(nreal))

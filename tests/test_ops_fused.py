@@ -273,10 +273,8 @@ class TestFusedLatticeBias:
         bit-identical to the inline-extract production kernel across
         multi-tile, row-wrap and key-padding cases (interpret mode)."""
         from bevrender_tpu.ops.deform_attn import _kernel_inputs
-        from bevrender_tpu.ops.pallas.fused_attn import (
-            fused_site_call,
-            fused_site_call_dma,
-        )
+        from bevrender_tpu.ops.pallas.experimental import fused_site_call_dma
+        from bevrender_tpu.ops.pallas.fused_attn import fused_site_call
 
         rng = np.random.default_rng(5)
         for B, G, Hpg, H, W, N, ch in (
@@ -311,10 +309,8 @@ class TestFusedLatticeBias:
         """The row-folded sh2 site kernel (BEVRENDER_SITE_SH2=1, measured
         net-neutral A/B) must bit-match the per-head sh kernel."""
         from bevrender_tpu.ops.deform_attn import _kernel_inputs_sh
-        from bevrender_tpu.ops.pallas.fused_attn import (
-            fused_site_call_sh,
-            fused_site_call_sh2,
-        )
+        from bevrender_tpu.ops.pallas.experimental import fused_site_call_sh2
+        from bevrender_tpu.ops.pallas.fused_attn import fused_site_call_sh
 
         table, k_pos, H, W, N = _setup(seed=11)
         G, Hpg = table.shape[0], table.shape[1]
@@ -345,10 +341,8 @@ class TestFusedLatticeBias:
         the inline-extract production kernel (interpret mode; the folded
         single-matmul QK/AV may round one bf16 ulp differently)."""
         from bevrender_tpu.ops.deform_attn import _kernel_inputs
-        from bevrender_tpu.ops.pallas.fused_attn import (
-            fused_site_call,
-            fused_site_call_v2,
-        )
+        from bevrender_tpu.ops.pallas.experimental import fused_site_call_v2
+        from bevrender_tpu.ops.pallas.fused_attn import fused_site_call
 
         rng = np.random.default_rng(7)
         for B, G, Hpg, H, W, N, ch in (
@@ -386,10 +380,8 @@ class TestFusedLatticeBias:
         take fused_site_call_v2's fallback to the per-head DMA kernel and
         still match the inline kernel."""
         from bevrender_tpu.ops.deform_attn import _kernel_inputs
-        from bevrender_tpu.ops.pallas.fused_attn import (
-            fused_site_call,
-            fused_site_call_v2,
-        )
+        from bevrender_tpu.ops.pallas.experimental import fused_site_call_v2
+        from bevrender_tpu.ops.pallas.fused_attn import fused_site_call
 
         rng = np.random.default_rng(9)
         B, G, Hpg, H, W, N, ch = 1, 1, 4, 8, 40, 80, 4  # WH = 160 > 128
@@ -420,10 +412,8 @@ class TestFusedLatticeBias:
         flash backward (which recomputes per-head from the lse). Also covers
         the wide-site (Hpg*W > 128) fallback path."""
         from bevrender_tpu.ops.deform_attn import _kernel_inputs
-        from bevrender_tpu.ops.pallas.fused_attn import (
-            fused_site_call_lse,
-            fused_site_call_v2_lse,
-        )
+        from bevrender_tpu.ops.pallas.experimental import fused_site_call_v2_lse
+        from bevrender_tpu.ops.pallas.fused_attn import fused_site_call_lse
 
         rng = np.random.default_rng(11)
         for B, G, Hpg, H, W, N, ch in (

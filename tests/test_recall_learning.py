@@ -111,17 +111,18 @@ def test_recall_at_1_learns_above_chance():
 
 def test_recall_artifact_passes_5x_chance():
     """The committed TPU learning-demonstration artifact
-    (scripts/recall_demo.py -> RECALL_r03.json) must show recall@1 >= 5x
-    chance on BOTH the train batch and the fresh-noise query set — the
-    north-star accuracy clause, recorded and checked."""
+    (scripts/recall_demo.py -> RECALL_r*.json, newest round wins) must show
+    recall@1 >= 5x chance on BOTH the train batch and the fresh-noise query
+    set — the north-star accuracy clause, recorded and checked."""
     import json
     from pathlib import Path
 
-    path = Path(__file__).resolve().parents[1] / "RECALL_r03.json"
-    if not path.exists():
-        pytest.skip("RECALL_r03.json not generated yet (run "
+    root = Path(__file__).resolve().parents[1]
+    paths = sorted(root.glob("RECALL_r*.json"))
+    if not paths:
+        pytest.skip("no RECALL_r*.json generated yet (run "
                     "scripts/recall_demo.py on the TPU)")
-    art = json.loads(path.read_text())
+    art = json.loads(paths[-1].read_text())
     bar = art["bar_5x_chance_pct"]
     final = art["final"]
     assert art["passes_5x_chance"], (
@@ -129,3 +130,35 @@ def test_recall_artifact_passes_5x_chance():
         f"val={final['val_R@1']:.1f}% below the 5x-chance bar {bar:.1f}%"
     )
     assert final["train_R@1"] >= bar and final["val_R@1"] >= bar
+
+
+def test_recall_artifact_is_flagship_with_live_ego_motion():
+    """North-star unification (VERDICT r3 item 1): from round 4 on, the
+    committed recall artifact must be the FLAGSHIP configuration — the same
+    config as the fps headline — with a non-zero pose mode, i.e. the
+    eval-time ego-motion history warp (reference model/encoder.py:366,
+    413-466) actually applied during the recall evaluation."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    paths = [p for p in sorted(root.glob("RECALL_r*.json"))
+             if p.name >= "RECALL_r04"]
+    if not paths:
+        pytest.skip("no round>=4 recall artifact yet (run "
+                    "scripts/recall_demo.py --size flagship --pose-mode bev "
+                    "--pose-swap on the TPU)")
+    art = json.loads(paths[-1].read_text())
+    assert art["size"] == "flagship", (
+        f"recall artifact must be the flagship config (got {art['size']}) "
+        "so accuracy and the throughput headline share one configuration"
+    )
+    assert art["pose_mode"] != "zero", (
+        "recall artifact must feed real poses (pose_mode != zero) so the "
+        "eval-time ego-motion warp is live during the demonstration"
+    )
+    assert art["passes_5x_chance"]
+    # multi-point learning curve, not just (step 0, final)
+    assert len(art["curve"]) >= 4, (
+        f"curve has {len(art['curve'])} points; run with smaller --chunk"
+    )
