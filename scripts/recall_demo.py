@@ -5,10 +5,11 @@ Trains BEVRender with MSE_CONTRASTIVE on the geo-consistent synthetic trace
 image) until pose-retrieval recall@1 — the reference's metric, computed with
 the rank semantics of train.py:551-572 — is well above chance, and records
 the full curve (steps, losses, R@1/5/10 on both the train batch and a
-fresh-noise query set) to ``RECALL_r03.json``.
+fresh-noise query set) to ``RECALL_r{N}.json``.
 
 Run on the TPU (a few thousand steps are minutes):
-    python scripts/recall_demo.py --size mid --out RECALL_r03.json
+    python scripts/recall_demo.py --size flagship --pose-mode bev \
+        --pose-swap --n 32 --batch 8 --chunk 50 --out RECALL_r04.json
 CPU smoke (tiny, few steps):
     PYTHONPATH= JAX_PLATFORMS=cpu python scripts/recall_demo.py \
         --size tiny --max-steps 200 --chunk 50 --out /tmp/recall_smoke.json
@@ -71,6 +72,15 @@ def make_config(size: str, n: int) -> Config:
 
         cfg = flagship_config()
         cfg.model.dtype = "bfloat16"
+    elif size == "pyramid":
+        # the reference's PUBLISHED default architecture
+        # (model/encoder.py:23-38: 56-28-14-7-14-28-56 U-shape, widths 64-512)
+        # — learning evidence for the published config, not just timing
+        # (VERDICT r3 item 6). Full reference defaults = Config() as in
+        # scripts/pyramid_bench.py.
+        cfg = Config()
+        cfg.model.dtype = "bfloat16"
+        cfg.model.drop_path_rate = 0.0
     else:
         raise ValueError(size)
     cfg.data.window_num_imgs = 1
@@ -88,7 +98,8 @@ def _l2n(x):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", choices=("tiny", "mid", "flagship"), default="mid")
+    ap.add_argument("--size", choices=("tiny", "mid", "flagship", "pyramid"),
+                    default="mid")
     ap.add_argument("--n", type=int, default=16, help="trace length / DB size")
     ap.add_argument("--batch", type=int, default=0,
                     help="device minibatch size for training/eval. 0 = full "
@@ -126,7 +137,7 @@ def main() -> int:
                     help="sign convention probe for --pose-mode bev")
     ap.add_argument("--pose-swap", action="store_true",
                     help="swap (row, col) -> (x, y) order for --pose-mode bev")
-    ap.add_argument("--out", default=str(ROOT / "RECALL_r03.json"))
+    ap.add_argument("--out", default=str(ROOT / "RECALL_r04.json"))
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -138,7 +149,8 @@ def main() -> int:
     # tiles must match the render size: the full BEVImageRenderDecoder always
     # renders 224x224 (stem + enough x2 upsamples, decoder_img_render.py:50-88)
     # while the tiny/mid SimpleDecoder upsamples 2x2 -> 4x BEV
-    map_tile = 224 if args.size == "flagship" else 4 * mdl.bev_shapes[-1]
+    map_tile = (224 if args.size in ("flagship", "pyramid")
+                else 4 * mdl.bev_shapes[-1])
     # the dataset's trace spans [m, world - m] with m = map_tile + img_height;
     # world must be comfortably larger than 2m or every pose collapses onto
     # one point and the retrieval task is degenerate (all tiles identical)

@@ -33,10 +33,13 @@ def main():
     enable_compilation_cache()
     assert jax.default_backend() == "tpu"
 
+    import os
+
     from bevrender_tpu.ops.deform_attn import (
         _site_xla,
         fused_site_attention,
         lattice_shift_class,
+        use_shift_replica,
     )
 
     results = {}
@@ -85,10 +88,25 @@ def main():
                     bench_fn(fb, q, k, v, k_pos, table), 3
                 )
             print(f"{name}/{fname}: {entry}", flush=True)
+        # stamp WHICH kernel the production dispatcher routed 'fused' to
+        # (ops/deform_attn._fused_site_impl): the sh/resolve gate is shape-
+        # dependent and artifact readers must not have to infer it
+        entry["fused_dispatch"] = (
+            "sh (shift-replicated, fused_site_call_sh)"
+            if use_shift_replica(table.shape, H, W)
+            else "resolve (plain staging, fused_site_call)"
+        )
         results[name] = entry
+    results["env_knobs"] = {
+        k: os.environ.get(k)
+        for k in ("BEVRENDER_SHIFT_REPLICA", "BEVRENDER_SITE_DMA",
+                  "BEVRENDER_SITE_SH2", "BEVRENDER_FUSED_BWD",
+                  "BEVRENDER_TRAIN_FWD_V2")
+    }
     results["note"] = (
         "ms per call, B=4, v5e chip, device_bench auto-calibrated; fused = "
-        "one-kernel bias+scores+softmax+AV, bias_kernel+xla = Pallas bias + "
+        "the PRODUCTION dispatcher fused_site_attention (fused_dispatch "
+        "stamps the kernel it selected), bias_kernel+xla = Pallas bias + "
         "XLA consumer (the training path), all_xla = no Pallas"
     )
     (ROOT / "SITE_BENCH.json").write_text(json.dumps(results, indent=1))
