@@ -557,14 +557,25 @@ def _site_kernel_sh(
     sblk, macc, lacc, oacc,
     *,
     H: int, W: int, Hpg: int, ch: int, TN: int, Np: int,
-    nreal: int, scale: float,
+    nreal: int, scale: float, B: int = 0,
 ):
     """Fused attention site on the shift-replicated staging: aligned window
     extraction + x-mix straight to the lerp rows (no resolve, no key sort),
-    then the same flash-style online softmax as :func:`_site_fwd_body`."""
+    then the same flash-style online softmax as :func:`_site_fwd_body`.
+
+    ``B > 0`` marks g-major grid order (BEVRENDER_SH_GMAJOR=1):
+    ``program_id(0) = g * B + b``, so the 8 MB staged-table block stays
+    resident for B consecutive cells instead of being re-fetched per cell;
+    the packed-geometry cell id is remapped back to the b-major packing."""
     NT = Np // TN
     t = pl.program_id(1)
-    row = (pl.program_id(0) * NT + t) % 8
+    if B:
+        bg = pl.program_id(0)
+        G = pl.num_programs(0) // B
+        cell = ((bg % B) * G + bg // B)
+    else:
+        cell = pl.program_id(0)
+    row = (cell * NT + t) % 8
     _fill_xres_sh(packed_ref, t3_ref, f_ref, gcol_ref, win, xres, row, H)
 
     wy = wy_ref[0, 0]
@@ -622,7 +633,14 @@ def fused_site_call_sh(
     t3s, wy, f, packed, gcol, k, v, qcm, H, W, Hpg, interpret, nreal, scale,
 ):
     """Fused attention site on the shift-replicated staging (eval path;
-    backward recomputes through the XLA consumer like ``fused_site_call``)."""
+    backward recomputes through the XLA consumer like ``fused_site_call``).
+
+    BEVRENDER_SH_GMAJOR=1 (trace-time, like the other kernel knobs) orders
+    the grid g-major: the staged-table block index then changes only every
+    B cells, so Pallas re-fetches the ~8 MB block G times per call instead
+    of B*G times (4x less staging HBM traffic at flagship B=4)."""
+    import os
+
     G, m8, Yp2, WH = t3s.shape
     B, _, Np, _ = wy.shape
     M = H * W
@@ -635,36 +653,49 @@ def fused_site_call_sh(
     n_cells = B * G * NT
     r8 = -(-n_cells // 8) * 8
     packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
+    gmajor = os.environ.get("BEVRENDER_SH_GMAJOR") == "1"
+    if gmajor:
+        # program_id(0) = g * B + b; packed stays b-major, so remap
+        cell = lambda bg: (bg % B) * G + bg // B
+        bidx = lambda bg: bg % B
+        gidx = lambda bg: bg // B
+    else:
+        cell = lambda bg: bg
+        bidx = lambda bg: bg // G
+        gidx = lambda bg: bg % G
     return pl.pallas_call(
         functools.partial(
             _site_kernel_sh, H=H, W=W, Hpg=Hpg, ch=ch, TN=TN, Np=Np,
-            nreal=nreal, scale=float(scale),
+            nreal=nreal, scale=float(scale), B=B if gmajor else 0,
         ),
         grid=(B * G, NT),
         in_specs=[
-            pl.BlockSpec((8, TN), lambda bg, t: ((bg * NT + t) // 8, 0),
+            pl.BlockSpec((8, TN),
+                         lambda bg, t: ((cell(bg) * NT + t) // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, m8, Yp2, WH), lambda bg, t: (bg % G, 0, 0, 0),
+            pl.BlockSpec((1, m8, Yp2, WH), lambda bg, t: (gidx(bg), 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+            pl.BlockSpec((1, 1, TN, 1),
+                         lambda bg, t: (bidx(bg), gidx(bg), t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TN, 1), lambda bg, t: (bg // G, bg % G, t, 0),
+            pl.BlockSpec((1, 1, TN, 1),
+                         lambda bg, t: (bidx(bg), gidx(bg), t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WH), lambda bg, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Hpg, TN, ch),
-                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
+                         lambda bg, t: (bidx(bg), gidx(bg), 0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Hpg, TN, ch),
-                         lambda bg, t: (bg // G, bg % G, 0, t, 0),
+                         lambda bg, t: (bidx(bg), gidx(bg), 0, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Hpg, ch, M),
-                         lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+                         lambda bg, t: (bidx(bg), gidx(bg), 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, Hpg, ch, M),
-            lambda bg, t: (bg // G, bg % G, 0, 0, 0),
+            lambda bg, t: (bidx(bg), gidx(bg), 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[

@@ -137,6 +137,14 @@ def main() -> int:
                     help="sign convention probe for --pose-mode bev")
     ap.add_argument("--pose-swap", action="store_true",
                     help="swap (row, col) -> (x, y) order for --pose-mode bev")
+    ap.add_argument("--detail", type=float, default=0.0,
+                    help="mid-frequency octave weight for the synthetic "
+                         "world (SyntheticGeoDataset.detail). At flagship "
+                         "scale the 224px tiles cut from the base octave "
+                         "alone are near-duplicates (their differences sit "
+                         "below achievable render error, so retrieval has "
+                         "no signal); 0.5 gives tiles the distinctiveness "
+                         "real aerial imagery has")
     ap.add_argument("--out", default=str(ROOT / "RECALL_r04.json"))
     args = ap.parse_args()
 
@@ -159,6 +167,7 @@ def main() -> int:
         n_items=n, num_views=mdl.num_views, window_num_imgs=1,
         img_height=mdl.img_height, img_width=mdl.img_width,
         map_tile=map_tile, world=world, noise=0.02, seed=0,
+        detail=args.detail,
     )
     ds = SyntheticGeoDataset(**ds_kwargs)
     spread = float(np.ptp(ds.trace[:, :2]))
@@ -302,6 +311,7 @@ def main() -> int:
         "pose_mode": mode,
         "n_database_tiles": n,
         "device_batch": mb,
+        "world_detail": args.detail,
         "chance_pct": chance,
         "bar_5x_chance_pct": 5 * chance,
         "final": final,

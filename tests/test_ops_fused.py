@@ -336,6 +336,28 @@ class TestFusedLatticeBias:
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
 
+    def test_sh_gmajor_grid_order_matches(self, monkeypatch):
+        """BEVRENDER_SH_GMAJOR=1 (g-major grid: the staged-table block stays
+        resident for B consecutive cells) must bit-match the default b-major
+        order — only the iteration order changes, never the math."""
+        from bevrender_tpu.ops.deform_attn import _kernel_inputs_sh
+        from bevrender_tpu.ops.pallas import fused_attn
+
+        table, k_pos, H, W, N = _setup(seed=13)
+        G, Hpg = table.shape[0], table.shape[1]
+        B = k_pos.shape[0]
+        ch = 4
+        t3s, wy4, f4, packed, gcol, Np = _kernel_inputs_sh(table, k_pos, H, W)
+        ks = jax.random.split(jax.random.PRNGKey(14), 3)
+        k = jax.random.normal(ks[0], (B, G, Hpg, Np, ch), jnp.bfloat16)
+        v = jax.random.normal(ks[1], (B, G, Hpg, Np, ch), jnp.bfloat16)
+        qcm = jax.random.normal(ks[2], (B, G, Hpg, ch, H * W), jnp.bfloat16)
+        args = (t3s, wy4, f4, packed, gcol, k, v, qcm, H, W, Hpg, True, N, 0.5)
+        ref = fused_attn.fused_site_call_sh(*args)
+        monkeypatch.setenv("BEVRENDER_SH_GMAJOR", "1")
+        got = fused_attn.fused_site_call_sh(*args)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
     def test_v2_headfold_variant_matches_inline_kernel(self):
         """The head-folded 128-pad layout kernel (fused_site_call_v2) matches
         the inline-extract production kernel (interpret mode; the folded
