@@ -171,6 +171,32 @@ def main():
         flush=True,
     )
 
+    # ---- glue attribution (round-3 weak #4: the ~6% gap) ----
+    # one full encoder pass (backbone + embedding + 7 stages, exactly what
+    # the recurrence runs per frame) and the batched ego-motion warp: the
+    # full-fwd gap then splits into (encoder-call internals beyond the
+    # standalone layer sum) vs (outer recurrence + decode glue)
+    from bevrender_tpu.inference.register import BEVRenderNet_encode_step
+    from bevrender_tpu.geometry.ego_motion import project_history_bev
+
+    net = model.net
+    refs = model.reference_points
+    prev_bev = jax.random.normal(rng, (B, HW, HW, C), dt)
+    frame = jnp.asarray(batch["camera"][:, -1])
+    pose_pair = jnp.asarray(batch["vehicle_pose"][:, :2])
+    out["encode_step_ms"] = round(device_bench(
+        lambda f: net.apply(
+            variables, f, prev_bev, pose_pair, vt, refs,
+            method=BEVRenderNet_encode_step,
+        ), frame
+    ), 3)
+    print(f"encode_step (1 frame): {out['encode_step_ms']} ms", flush=True)
+    out["ego_warp_ms"] = round(device_bench(
+        lambda b: project_history_bev(b, pose_pair.astype(jnp.float32)),
+        prev_bev.astype(jnp.float32),
+    ), 3)
+    print(f"ego warp: {out['ego_warp_ms']} ms", flush=True)
+
     # ---- cross-check: components summed vs the measured full forward ----
     per_frame_layers = sum(
         2 * layer_ms[f"g{m.n_groups[s]}_h{m.n_heads[s]}"]
@@ -182,9 +208,21 @@ def main():
         + out["decoder_ms"],
         3,
     )
+    out["glue_inside_encoder_ms_per_T"] = round(
+        out["encode_step_ms"]
+        - out["backbone_BV_ms_per_T"] - per_frame_layers, 3,
+    )
+    out["glue_outside_encoder_ms"] = round(
+        out["full_fwd_B4_T2_ms"]
+        - T * out["encode_step_ms"] - out["decoder_ms"], 3,
+    )
     out["note"] = (
-        "sum_check = T*(backbone + 2*sum(stage layers)) + decoder; gap vs "
-        "full_fwd is glue (projections, history warp, embedding, resizes)"
+        "sum_check = T*(backbone + 2*sum(stage layers)) + decoder. The gap "
+        "vs full_fwd splits into glue_inside_encoder (per-pass cost beyond "
+        "the standalone layer sum: embedding broadcast, prev_bev handling, "
+        "stage plumbing — x T passes) and glue_outside_encoder (recurrence "
+        "control + decode dispatch); ego_warp_ms prices the eval-time "
+        "history alignment separately"
     )
     print(json.dumps(out, indent=1), flush=True)
     (ROOT / "EVAL_ATTRIBUTION.json").write_text(json.dumps(out, indent=1))
