@@ -72,6 +72,11 @@ def make_config(size: str, n: int) -> Config:
 
         cfg = flagship_config()
         cfg.model.dtype = "bfloat16"
+        # stochastic depth is a big-data regularizer; on the n<=32-sample
+        # synthetic trace it only injects residual-branch noise (every other
+        # size here zeroes it too — flagship r4 runs plateaued at
+        # render MSE ~0.009 with the default 0.2 until this was zeroed)
+        cfg.model.drop_path_rate = 0.0
     elif size == "pyramid":
         # the reference's PUBLISHED default architecture
         # (model/encoder.py:23-38: 56-28-14-7-14-28-56 U-shape, widths 64-512)
