@@ -77,6 +77,46 @@ def contrastive_loss(
     return pos_loss + neg_loss
 
 
+def contrastive_loss_vs_db(
+    cam: jax.Array,
+    db: jax.Array,
+    labels: jax.Array,
+    pos_margin: float = 0.0,
+    neg_margin: float = 1.0,
+) -> jax.Array:
+    """Contrastive loss of a query minibatch against a RESIDENT tile
+    database (memory-bank negatives).
+
+    Same pos/neg margins and AvgNonZeroReducer semantics as
+    :func:`contrastive_loss`, but the negative set is the whole ``db``
+    (N, D) instead of the other in-batch items. This is the TPU-shaped
+    remedy for small device minibatches of *adjacent* trace poses: with
+    only in-batch negatives every negative tile nearly coincides with the
+    positive and the gradient cancels (measured: mid-size n=32 at B=8
+    consecutive minibatches stays at chance for 1500 steps; full-batch
+    hits 100% R@1 by 400). The database rides HBM as one (N, D) matrix —
+    the same layout the registration matcher uses — so the extra
+    negatives cost one (B, N) matmul, not activation memory.
+
+    Args:
+      cam: (B, D) query embeddings (gradients flow).
+      db:  (N, D) database embeddings (typically fixed tiles).
+      labels: (B,) int indices of each query's positive row in ``db``.
+    """
+    q = _l2_normalize(cam)
+    t = _l2_normalize(db)
+    sq = jnp.sum(q * q, axis=-1)[:, None] + jnp.sum(t * t, axis=-1)[None, :]
+    d = jnp.sqrt(jnp.maximum(sq - 2.0 * q @ t.T, _EPS))  # (B, N)
+    pos_mask = labels[:, None] == jnp.arange(db.shape[0])[None, :]
+    pos_loss = _masked_mean_nonzero(
+        jnp.maximum(d - pos_margin, 0.0), pos_mask
+    )
+    neg_loss = _masked_mean_nonzero(
+        jnp.maximum(neg_margin - d, 0.0), ~pos_mask
+    )
+    return pos_loss + neg_loss
+
+
 def triplet_loss(
     cam: jax.Array,
     map_: jax.Array,

@@ -219,10 +219,27 @@ def main() -> int:
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     dev_val = {k: jnp.asarray(v) for k, v in val_batch.items()}
     # training minibatches: (nb, mb, ...) stacked on device; the chunk loop
-    # cycles them so every item trains while the step fits one chip's HBM
+    # cycles them so every item trains while the step fits one chip's HBM.
+    # STRIDE-INTERLEAVED: minibatch j = items [j, j+nb, j+2nb, ...]. With
+    # consecutive-slice minibatches the contrastive negatives are adjacent
+    # trace poses whose tiles nearly coincide, and the task degenerates —
+    # measured: mid-size n=32 B=8 consecutive slices stays at chance for
+    # 1500 steps while the same config full-batch hits 100% R@1 by 400
+    assert n % mb == 0
+    perm = np.arange(n).reshape(mb, nb).T.reshape(-1)
     dev_mbs = {
-        k: jnp.reshape(v, (nb, mb) + v.shape[1:]) for k, v in dev_batch.items()
+        k: jnp.reshape(v[jnp.asarray(perm)], (nb, mb) + v.shape[1:])
+        for k, v in dev_batch.items()
     }
+    # each minibatch item's row in the tile database (for DB negatives)
+    dev_mbs["db_label"] = jnp.reshape(
+        jnp.asarray(perm, jnp.int32), (nb, mb)
+    )
+    # RESIDENT full tile database: with mb < n the retrieval loss contrasts
+    # each minibatch render against ALL n tiles
+    # (losses.metric.contrastive_loss_vs_db — in-batch-only negatives from
+    # adjacent trace poses cancel and learning stalls at chance)
+    tiles_emb = trainer.embed_fn(dev_batch["map"]) if mb < n else None
 
     def recalls(state, b):
         # eval in --batch-sized chunks (the flagship forward at B=n would
@@ -241,6 +258,61 @@ def main() -> int:
         )
         return [float(x) for x in r], float(np.mean(losses))
 
+    import optax
+
+    from bevrender_tpu.losses.metric import contrastive_loss_vs_db
+
+    def db_step(st, b, rng):
+        """trainer._train_step_impl with the retrieval loss contrasted
+        against the resident full tile database instead of in-batch pairs
+        (everything else — rng stream, BN update, AdamW+clip — identical)."""
+        rng = jax.random.fold_in(rng, st.step)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if st.batch_stats:
+                variables["batch_stats"] = st.batch_stats
+            out, updates = trainer.model.apply(
+                variables, b["camera"], b["vehicle_pose"],
+                b["vehicle_type"], train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"] if st.batch_stats else [],
+            )
+            parts = {}
+            total = 0.0
+            if trainer.image_rendering:
+                parts["render"] = trainer.render_fn(out, b["map"])
+                total = total + parts["render"]
+            if trainer.image_retrieval:
+                parts["retrieval"] = contrastive_loss_vs_db(
+                    trainer.embed_fn(out), tiles_emb, b["db_label"]
+                )
+                total = total + parts["retrieval"]
+            return total, (parts, updates)
+
+        (total, (parts, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(st.params)
+        grad_norm = optax.global_norm(grads)
+        updates_tx, opt_state = trainer.tx.update(
+            grads, st.opt_state, st.params
+        )
+        params = optax.apply_updates(st.params, updates_tx)
+        new_stats = (
+            updates.get("batch_stats", st.batch_stats)
+            if st.batch_stats else st.batch_stats
+        )
+        st = st.replace(
+            params=params, batch_stats=new_stats, opt_state=opt_state,
+            step=st.step + 1,
+        )
+        metrics = {
+            "train_batch_loss": total,
+            "camera_encoder_grad_norm": grad_norm,
+        }
+        for k, v in parts.items():
+            metrics[f"train_batch_{k}_loss"] = v
+        return st, metrics
+
     @jax.jit
     def train_chunk(state, batches, rng, n_steps):
         zero = {
@@ -258,9 +330,13 @@ def main() -> int:
                 )
                 for k, v in batches.items()
             }
-            st, metrics, _ = trainer._train_step_impl(
-                st, b, jax.random.fold_in(rng, i)
-            )
+            if tiles_emb is not None:
+                st, metrics = db_step(st, b, jax.random.fold_in(rng, i))
+            else:
+                b.pop("db_label", None)
+                st, metrics, _ = trainer._train_step_impl(
+                    st, b, jax.random.fold_in(rng, i)
+                )
             return (st, {k: metrics[k].astype(jnp.float32) for k in zero})
         return jax.lax.fori_loop(0, n_steps, body, (state, zero))
 

@@ -70,6 +70,25 @@ class TestMetricLosses:
         loss = contrastive_loss(cam, cam)
         np.testing.assert_allclose(float(loss), 1.0, atol=1e-5)
 
+    def test_contrastive_vs_db_semantics(self):
+        from bevrender_tpu.losses.metric import contrastive_loss_vs_db
+
+        # perfect retrieval vs an orthogonal DB: pos d=0, negs d=sqrt(2)>1
+        db = jnp.eye(3)
+        cam = db[jnp.asarray([2, 0])]
+        loss = contrastive_loss_vs_db(cam, db, jnp.asarray([2, 0]))
+        np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
+        # collapsed queries AND db: every neg at distance ~0 -> margin
+        db1 = jnp.asarray([[1.0, 0.0]] * 3)
+        loss = contrastive_loss_vs_db(db1[:2], db1, jnp.asarray([0, 1]))
+        np.testing.assert_allclose(float(loss), 1.0, atol=1e-4)
+        # gradient flows to the queries and is finite
+        g = jax.grad(
+            lambda c: contrastive_loss_vs_db(c, db, jnp.asarray([1, 2]))
+        )(jnp.asarray([[0.6, 0.8, 0.0], [0.0, 0.6, 0.8]]))
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
     def test_triplet_reg_only_when_no_semihard(self):
         # far-separated pairs: no semihard triplets -> loss = mean L2 norm
         cam = jnp.asarray([[10.0, 0.0], [0.0, 10.0]])
