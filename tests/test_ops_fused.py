@@ -353,6 +353,7 @@ class TestFusedLatticeBias:
         v = jax.random.normal(ks[1], (B, G, Hpg, Np, ch), jnp.bfloat16)
         qcm = jax.random.normal(ks[2], (B, G, Hpg, ch, H * W), jnp.bfloat16)
         args = (t3s, wy4, f4, packed, gcol, k, v, qcm, H, W, Hpg, True, N, 0.5)
+        monkeypatch.setenv("BEVRENDER_SH_GMAJOR", "0")
         ref = fused_attn.fused_site_call_sh(*args)
         monkeypatch.setenv("BEVRENDER_SH_GMAJOR", "1")
         got = fused_attn.fused_site_call_sh(*args)
