@@ -39,8 +39,14 @@ D_FLAGSHIP = 3 * 224 * 224  # render embedding dim (224x224 RGB aerial view)
 
 
 def _synth_db(n: int, d: int, dtype, seed: int = 0):
-    """Unit-norm synthetic embedding database built on device in chunks
-    (16k x 150k f32 is 9.6 GB — generate directly at the target dtype)."""
+    """Unit-norm synthetic embedding database built on device in chunks.
+
+    Preallocates the (n, d) buffer once and fills it with DONATED in-place
+    dynamic_update_slice calls: a concatenate of chunks transiently doubles
+    residency (inputs + output), which OOMs at 16k x 150k bf16 (4.9 GB
+    database, 9.9 GB transient) on a 16 GB chip."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -50,8 +56,14 @@ def _synth_db(n: int, d: int, dtype, seed: int = 0):
         e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
         return e.astype(dtype)
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), n // 1024)
-    return jnp.concatenate([chunk(k) for k in keys], axis=0)
+    @functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
+    def fill(db, c, i):
+        return jax.lax.dynamic_update_slice(db, c, (i * 1024, 0))
+
+    db = jnp.zeros((n, d), dtype)
+    for i, k in enumerate(jax.random.split(jax.random.PRNGKey(seed), n // 1024)):
+        db = fill(db, chunk(k), i)
+    return db
 
 
 def mode_latency() -> None:
@@ -92,7 +104,7 @@ def mode_latency() -> None:
     for n in DB_SIZES:
         row = {"n_tiles": n}
         for dt, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
-            if name == "f32" and n * D_FLAGSHIP * 4 > 12e9:
+            if name == "f32" and n * D_FLAGSHIP * 4 > 6e9:
                 row[f"db_{name}"] = {
                     "skipped": "database alone would exceed HBM headroom"
                 }
@@ -125,6 +137,15 @@ def mode_latency() -> None:
         "config": (
             f"flagship uniform-28 bf16 render, B={B}, D={D_FLAGSHIP}, "
             "synthetic unit-norm DB, TPU v5e"
+        ),
+        "gbps_note": (
+            "match_gbps = db_bytes / time. The bf16 rows are the honest "
+            "roofline (the matmul streams the bf16 db once). The f32 rows "
+            "time ~equal to bf16 because the matcher casts the db to bf16 "
+            "and the timing loop's invariant-code motion hoists that "
+            "conversion out of the timed body — their apparent gbps "
+            "exceeds the 819 GB/s peak and should be read as 'f32 storage "
+            "costs 2x HBM residency, not 2x query time'"
         ),
         "per_db_size": rows,
         "register_e2e_ms_16k_bf16": round(e2e_ms, 2),
