@@ -136,7 +136,7 @@ def main():
     n_items = bs * n_steps * 50 // 49 + bs  # >= n_steps train batches
     if args.dataset == "png":
         ds = _png_dataset(n_items, bs)
-        cfg.data.on_device_preprocess = "none"  # f32 from the host pipeline
+        cfg.data.on_device_preprocess = False  # f32 from the host pipeline
     else:
         ds = SyntheticGeoDataset(
             n_items=n_items, num_views=2, window_num_imgs=1,
