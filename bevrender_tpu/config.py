@@ -66,6 +66,15 @@ class ModelConfig:
     attn_chunk: int = 512  # query-chunk size for streamed attention (memory bound)
     use_pallas: bool = True  # use fused Pallas kernels on TPU when available
     param_dtype: str = "float32"
+    # Retrieval embedding (SURVEY 3.4: the reference's embedding dim is
+    # inconsistent — train.py:36-37 sizes recall buffers at 64*28*28 while the
+    # losses get the 3*224*224 flattened render; this build makes the head
+    # explicit). 0 = reference-parity flatten of the decoder render;
+    # >0 = train a compact Siamese conv head (models/retrieval.py) of that
+    # output dimension — at 16k database tiles, D=256 shrinks the resident
+    # (N, D) matrix from 4.9 GB (bf16 flatten) to 16 MB f32.
+    retrieval_embed_dim: int = 0
+    retrieval_head_widths: Tuple[int, ...] = (32, 64, 128, 256)
 
     @property
     def window_key_shape(self) -> Tuple[int, int]:
@@ -103,6 +112,14 @@ class DataConfig:
     # True = full wide-image pipeline; "cast" = uint8->f32 cast only (for
     # datasets that already emit final-shaped views in raw_uint8 mode)
     on_device_preprocess: Any = False  # bool | "cast"
+    # Decoded-frame LRU budget (MB): post-resize uint8 camera frames + map
+    # tiles keyed by path. Frames recur across overlapping windows and
+    # epochs; decode is the measured 1-core-host input bottleneck
+    # (TRAINER_OVERLAP_k8_png.json). 0 disables.
+    frame_cache_mb: int = 256
+    # Source-size gate for the native fused resize (round-4 finding: PIL
+    # wins below ~small-frame scale, native wins 2.74x at 512x640).
+    native_min_pixels: int = 100_000
 
 
 @dataclass

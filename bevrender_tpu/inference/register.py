@@ -49,7 +49,22 @@ class RegistrationPipeline:
         self.config = config
         self.model = BEVRenderModel(config, mode="inference")
         self.variables = variables
-        self.embed_fn = embed_fn or (lambda out: out.reshape(out.shape[0], -1))
+        self.embed_fn = embed_fn
+
+        # retrieval embedding of an image batch -> unit-norm (B, D):
+        # explicit embed_fn > trained Siamese head (retrieval_embed_dim > 0,
+        # models/retrieval.py) > reference-parity flatten. All branches take
+        # (variables, images) so the head's trained params ride along.
+        if embed_fn is not None:
+            self._embed_images = lambda v, images: _l2n(embed_fn(images))
+        elif config.model.retrieval_embed_dim > 0:
+            self._embed_images = (
+                lambda v, images: self.model.embed(v, images)  # unit-norm
+            )
+        else:
+            self._embed_images = lambda v, images: _l2n(
+                images.reshape(images.shape[0], -1)
+            )
 
         def render(variables, camera, pose, vtype):
             return self.model.apply(variables, camera, pose, vtype, train=False)
@@ -58,9 +73,10 @@ class RegistrationPipeline:
 
         def embed_render(variables, camera, pose, vtype):
             out = render(variables, camera, pose, vtype)
-            return out, _l2n(self.embed_fn(out))
+            return out, self._embed_images(variables, out)
 
         self._embed_render = jax.jit(embed_render)
+        self._embed_tiles = jax.jit(lambda v, t: self._embed_images(v, t))
         self._tile_db: Optional[jax.Array] = None
 
         def match(query_emb, db, k: int):
@@ -79,6 +95,19 @@ class RegistrationPipeline:
             return idx, -neg_dist
 
         self._match = jax.jit(match, static_argnums=2)
+
+        def register_fused(variables, camera, pose, vtype, db, k: int):
+            # render -> embed -> match in ONE device program: the query
+            # embedding never leaves HBM and the host pays ONE dispatch RPC
+            # per registration instead of two (measured on the tunnel-attached
+            # chip: the two-dispatch r4 path spent ~3x the device time in
+            # wall-clock at 16k tiles — REGISTER_SCALE_BENCH.json r4/r5).
+            out = render(variables, camera, pose, vtype)
+            emb = self._embed_images(variables, out)
+            idx, dist = match(emb, db, k)
+            return out, idx, dist
+
+        self._register_fused = jax.jit(register_fused, static_argnums=5)
 
     @classmethod
     def from_checkpoint(cls, config: Config, ckpt_path: str, sample_batch,
@@ -115,7 +144,7 @@ class RegistrationPipeline:
                 method=BEVRenderNet_encode_step,
             )
             out = net.apply(variables, bev, method=BEVRenderNet_decode)
-            emb = _l2n(self.embed_fn(out))
+            emb = self._embed_images(variables, out)
             dist = 2.0 - 2.0 * emb @ tiles.T
             return bev, out, jnp.argmin(dist, axis=-1)
 
@@ -149,7 +178,7 @@ class RegistrationPipeline:
                 method=BEVRenderNet_encode_step,
             )
             out = net.apply(variables, bev, method=BEVRenderNet_decode)
-            emb = _l2n(self.embed_fn(out))
+            emb = self._embed_images(variables, out)
             dist = 2.0 - 2.0 * emb @ tiles.T
             return bev, jnp.argmin(dist, axis=-1), jnp.min(dist, axis=-1)
 
@@ -201,19 +230,46 @@ class RegistrationPipeline:
         dispatch per batch, not per tile — at production database scale,
         thousands of tiles, per-tile dispatch would dominate build time).
         ``dtype`` (e.g. ``jnp.bfloat16``) stores the database at reduced
-        precision: at 16k tiles of 224x224x3 the f32 matrix is 9.6 GB — over
-        half the v5e's 16 GB HBM — while bf16 halves residency and runs the
-        query matmul on the MXU's native input type (f32 accumulation).
+        precision: at 16k tiles the FLATTEN path's f32 matrix is 9.6 GB —
+        over half the v5e's 16 GB HBM — while bf16 halves residency and runs
+        the query matmul on the MXU's native input type (f32 accumulation).
+        With the trained head (``retrieval_embed_dim > 0``) the same 16k
+        tiles embed to ~16 MB f32 and dtype is moot.
+
+        When ``tiles`` has a known length the database is built by donated
+        in-place ``dynamic_update_slice`` fills into ONE preallocated (N, D)
+        buffer — a growing list + final concatenate would transiently hold
+        2x the database (fatal at flatten-path scale).
         """
-        embed = jax.jit(lambda t: _l2n(self.embed_fn(t)))
-        embs = []
+        embed = self._embed_tiles
+
+        def fill(db, e, row):  # donated in-place row-block write
+            return jax.lax.dynamic_update_slice(
+                db, e.astype(db.dtype), (row, 0)
+            )
+
+        fill = jax.jit(fill, donate_argnums=0)
+
+        db = None
+        row = 0
+        embs = []  # only used on the unknown-length fallback path
+        n_total = len(tiles) if hasattr(tiles, "__len__") else None
         buf: list = []
 
         def flush():
+            nonlocal db, row
             if not buf:
                 return
-            e = embed(jnp.asarray(np.stack(buf)))
-            embs.append(e.astype(dtype) if dtype is not None else e)
+            e = embed(self.variables, jnp.asarray(np.stack(buf)))
+            if n_total is not None:
+                if db is None:
+                    db = jnp.zeros(
+                        (n_total, e.shape[1]), dtype or e.dtype
+                    )
+                db = fill(db, e, row)
+                row += e.shape[0]
+            else:
+                embs.append(e.astype(dtype) if dtype is not None else e)
             buf.clear()
 
         for tile in tiles:
@@ -221,7 +277,11 @@ class RegistrationPipeline:
             if len(buf) == batch_size:
                 flush()
         flush()
-        self._tile_db = jnp.concatenate(embs, axis=0)
+        if db is None and not embs:
+            raise ValueError(
+                "build_tile_database: no tiles provided (empty iterable)"
+            )
+        self._tile_db = db if db is not None else jnp.concatenate(embs, axis=0)
         return self._tile_db
 
     def register(
@@ -229,17 +289,16 @@ class RegistrationPipeline:
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Render + correlate against the tile database.
 
-        Returns (rendered, top_k tile indices, top_k distances).
+        One fused device dispatch (render -> embed -> top-k match); returns
+        (rendered, top_k tile indices, top_k distances).
         """
         if self._tile_db is None:
             raise RuntimeError("call build_tile_database first")
-        rendered, emb = self._embed_render(
-            self.variables, batch["camera"], batch["vehicle_pose"],
-            batch["vehicle_type"],
-        )
         k = min(top_k, self._tile_db.shape[0])
-        idx, dist = self._match(emb, self._tile_db, k)
-        return rendered, idx, dist
+        return self._register_fused(
+            self.variables, batch["camera"], batch["vehicle_pose"],
+            batch["vehicle_type"], self._tile_db, k,
+        )
 
     # ------------------------------------------------------------------
     # Mesh-sharded registration: for production-scale tile databases the
@@ -324,8 +383,7 @@ class RegistrationPipeline:
                 batch["vehicle_type"],
             )
             cams.append(np.asarray(emb))
-            tile = batch["map"].reshape(batch["map"].shape[0], -1)
-            maps.append(np.asarray(_l2n(tile)))
+            maps.append(np.asarray(self._embed_tiles(self.variables, batch["map"])))
         cam = jnp.asarray(np.concatenate(cams))
         map_ = jnp.asarray(np.concatenate(maps))
         r1, r5, r10 = recall_at_k(cam, map_, (1, 5, 10))

@@ -48,6 +48,14 @@ class BEVRenderNet(nn.Module):
             (H0 * W0, cfg.embed_dims[0]),
         )
         self.encoder = BEVEncoder(cfg, axis_name=self.axis_name, name="encoder")
+        if cfg.retrieval_embed_dim > 0:
+            from bevrender_tpu.models.retrieval import RetrievalHead
+
+            self.retrieval_head = RetrievalHead(
+                embed_dim=cfg.retrieval_embed_dim,
+                widths=cfg.retrieval_head_widths,
+                name="retrieval_head",
+            )
         self.decoder = BEVImageRenderDecoder(
             bev_spatial_dim=cfg.bev_shapes[-1],
             model_dim=cfg.embed_dims[-1],
@@ -166,6 +174,30 @@ class BEVRenderNet(nn.Module):
     def decode(self, bev: jax.Array) -> jax.Array:
         return self.decoder(bev, False)
 
+    def embed(self, images: jax.Array) -> jax.Array:
+        """Retrieval embedding of an image batch (rendered aerial view OR
+        geo-registered map tile — the head is Siamese; the reference's "map
+        encoder" slot is identity, train.py:207-211).
+
+        ``retrieval_embed_dim == 0`` keeps reference parity: the flattened
+        image itself (train.py:224-232 feeds flattened renders/tiles to the
+        metric losses). ``> 0`` routes through the trained conv head, which
+        returns unit-norm (B, D) vectors.
+        """
+        if self.cfg.retrieval_embed_dim <= 0:
+            return images.reshape(images.shape[0], -1)
+        return self.retrieval_head(images)
+
+
+def _call_and_embed(net: BEVRenderNet, images, vehicle_pose, vehicle_type,
+                    reference_points, train=False):
+    """init helper: touch both the render path and the retrieval head so one
+    ``init`` populates every parameter (the head embeds the render AND the
+    tile side at train time, but one call suffices to create its params)."""
+    out = net(images, vehicle_pose, vehicle_type, reference_points, train=train)
+    net.embed(out)
+    return out
+
 
 class BEVRenderModel:
     """Config + geometry + flax module bundle.
@@ -231,8 +263,14 @@ class BEVRenderModel:
 
         @functools.partial(jax.jit)
         def _init(rng, camera, pose, vtype):
+            method = (
+                _call_and_embed
+                if self.config.model.retrieval_embed_dim > 0
+                else None
+            )
             return self.net.init(
-                rng, camera, pose, vtype, self.reference_points, train=False
+                rng, camera, pose, vtype, self.reference_points, train=False,
+                method=method,
             )
 
         return _init(
@@ -273,6 +311,12 @@ class BEVRenderModel:
             rngs=rngs,
             mutable=mutable,
         )
+
+    def embed(self, variables, images: jax.Array) -> jax.Array:
+        """Retrieval embedding (see :meth:`BEVRenderNet.embed`); pass the
+        SAME ``variables`` used for the forward pass so gradients reach the
+        head when called under ``value_and_grad``."""
+        return self.net.apply(variables, images, method=BEVRenderNet.embed)
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -22,8 +22,10 @@ Key translations:
 Retrieval embeddings: the reference feeds the decoder output to the metric
 losses but sizes its recall buffers for a flattened BEV feature
 (``model_output_dim = 64*28*28`` vs decoder ``3*224*224`` — train.py:36-37;
-SURVEY 3.4). Here the retrieval embedding is explicitly the flattened decoder
-output; swap in a custom head via ``embed_fn``.
+SURVEY 3.4). Here the retrieval embedding is explicit: the flattened decoder
+output by default (reference parity), the trained Siamese conv head
+(models/retrieval.py) when ``ModelConfig.retrieval_embed_dim > 0``, or any
+custom ``embed_fn``.
 """
 
 from __future__ import annotations
@@ -103,6 +105,15 @@ class Trainer:
         self.logger = logger or get_logger()
         self.metrics = MetricsLogger(self.tc.use_wandb, self.logger)
         self.mesh = mesh
+        # retrieval embedding: an explicit ``embed_fn`` wins; otherwise the
+        # config decides — retrieval_embed_dim > 0 routes through the model's
+        # trained Siamese head (models/retrieval.py), 0 keeps the
+        # reference-parity flatten (train.py:224-232). The head path needs
+        # the live variables (its params train), hence ``_embed(variables, x)``
+        # below rather than a pure image->vector function.
+        self.use_embed_head = (
+            embed_fn is None and config.model.retrieval_embed_dim > 0
+        )
         self.embed_fn = embed_fn or (lambda out: out.reshape(out.shape[0], -1))
 
         (
@@ -189,20 +200,36 @@ class Trainer:
         return state.replace(opt_state=opt_state._replace(hyperparams=hp))
 
     # ------------------------------------------------------------------
-    def _forward_losses(self, out, batch):
+    def _embed(self, variables, images):
+        """Retrieval embedding of renders or tiles; head or flatten (see
+        ``use_embed_head``). ``variables`` must be the live params so head
+        gradients flow when called inside a loss."""
+        if self.use_embed_head:
+            return self.model.embed(variables, images)
+        return self.embed_fn(images)
+
+    def _forward_losses(self, variables, out, batch):
         parts = {}
         total = 0.0
         if self.image_rendering:
             parts["render"] = self.render_fn(out, batch["map"])
             total = total + parts["render"]
         if self.image_retrieval:
-            cam = self.embed_fn(out)
-            map_ = self.embed_fn(batch["map"])
+            cam = self._embed(variables, out)
+            map_ = self._embed(variables, batch["map"])
             parts["retrieval"] = self.retrieval_fn(cam, map_)
             total = total + parts["retrieval"]
         return total, parts
 
-    def _train_step_impl(self, state: TrainState, batch, rng):
+    def _step_with(self, state: TrainState, batch, rng, losses_fn):
+        """One optimizer step with a caller-chosen loss.
+
+        ``losses_fn(variables, out, batch) -> (total, parts)`` plugs into the
+        SAME rng-stream / BatchNorm-update / clip+AdamW mechanics as the
+        production step — scripts that need a different retrieval loss (e.g.
+        the recall demo's memory-bank ``contrastive_loss_vs_db``) inject it
+        here instead of cloning the step body.
+        """
         # per-step dropout stream derived INSIDE the jitted step: callers pass
         # one epoch-level key and the step counter decorrelates it, so the
         # host never issues an eager `random.split` per step (on
@@ -222,7 +249,7 @@ class Trainer:
                 rngs={"dropout": rng},
                 mutable=["batch_stats"] if state.batch_stats else [],
             )
-            total, parts = self._forward_losses(out, batch)
+            total, parts = losses_fn(variables, out, batch)
             return total, (parts, updates, out)
 
         (total, (parts, updates, render)), grads = jax.value_and_grad(
@@ -246,6 +273,9 @@ class Trainer:
         for k, v in parts.items():
             metrics[f"train_batch_{k}_loss"] = v
         return new_state, metrics, render
+
+    def _train_step_impl(self, state: TrainState, batch, rng):
+        return self._step_with(state, batch, rng, self._forward_losses)
 
     def _train_step_multi_impl(self, state: TrainState, batches, rng):
         """Run k training steps in ONE dispatch over a stacked (k, B, ...)
@@ -286,12 +316,12 @@ class Trainer:
             batch["vehicle_type"],
             train=False,
         )
-        total, parts = self._forward_losses(out, batch)
+        total, parts = self._forward_losses(variables, out, batch)
         metrics = {"val_batch_loss": total}
         for k, v in parts.items():
             metrics[f"val_batch_{k}_loss"] = v
-        cam_emb = self.embed_fn(out)
-        map_emb = self.embed_fn(batch["map"])
+        cam_emb = self._embed(variables, out)
+        map_emb = self._embed(variables, batch["map"])
         return metrics, cam_emb, map_emb, out
 
     # ------------------------------------------------------------------

@@ -150,13 +150,19 @@ def main() -> int:
                          "below achievable render error, so retrieval has "
                          "no signal); 0.5 gives tiles the distinctiveness "
                          "real aerial imagery has")
-    ap.add_argument("--out", default=str(ROOT / "RECALL_r04.json"))
+    ap.add_argument("--head", type=int, default=0,
+                    help="retrieval_embed_dim: 0 = reference-parity flatten "
+                         "(3*224*224-D), >0 = train the compact Siamese conv "
+                         "head (models/retrieval.py) to that dimension "
+                         "jointly with the model")
+    ap.add_argument("--out", default=str(ROOT / "RECALL_r05.json"))
     args = ap.parse_args()
 
     enable_compilation_cache()
     n = args.n
     cfg = make_config(args.size, n)
     cfg.train.learning_rate = args.lr
+    cfg.model.retrieval_embed_dim = args.head
     mdl = cfg.model
 
     # tiles must match the render size: the full BEVImageRenderDecoder always
@@ -238,8 +244,12 @@ def main() -> int:
     # RESIDENT full tile database: with mb < n the retrieval loss contrasts
     # each minibatch render against ALL n tiles
     # (losses.metric.contrastive_loss_vs_db — in-batch-only negatives from
-    # adjacent trace poses cancel and learning stalls at chance)
-    tiles_emb = trainer.embed_fn(dev_batch["map"]) if mb < n else None
+    # adjacent trace poses cancel and learning stalls at chance). The RAW
+    # tiles stay resident and are re-embedded inside the loss each step:
+    # with the trained head (--head > 0) the database embeddings move as the
+    # head trains and BOTH sides feed it gradients; on the flatten path the
+    # re-embed is a reshape, free under jit.
+    dev_tiles = dev_batch["map"] if mb < n else None
 
     def recalls(state, b):
         # eval in --batch-sized chunks (the flagship forward at B=n would
@@ -258,60 +268,26 @@ def main() -> int:
         )
         return [float(x) for x in r], float(np.mean(losses))
 
-    import optax
-
     from bevrender_tpu.losses.metric import contrastive_loss_vs_db
 
-    def db_step(st, b, rng):
-        """trainer._train_step_impl with the retrieval loss contrasted
-        against the resident full tile database instead of in-batch pairs
-        (everything else — rng stream, BN update, AdamW+clip — identical)."""
-        rng = jax.random.fold_in(rng, st.step)
-
-        def loss_fn(params):
-            variables = {"params": params}
-            if st.batch_stats:
-                variables["batch_stats"] = st.batch_stats
-            out, updates = trainer.model.apply(
-                variables, b["camera"], b["vehicle_pose"],
-                b["vehicle_type"], train=True, rngs={"dropout": rng},
-                mutable=["batch_stats"] if st.batch_stats else [],
+    def db_losses(variables, out, b):
+        """Loss parts for ``trainer._step_with``: rendering as in production,
+        retrieval contrasted against the resident full tile database instead
+        of in-batch pairs. The step mechanics (rng stream, BN update,
+        AdamW+clip) are the trainer's own — not cloned here."""
+        parts = {}
+        total = 0.0
+        if trainer.image_rendering:
+            parts["render"] = trainer.render_fn(out, b["map"])
+            total = total + parts["render"]
+        if trainer.image_retrieval:
+            parts["retrieval"] = contrastive_loss_vs_db(
+                trainer._embed(variables, out),
+                trainer._embed(variables, dev_tiles),
+                b["db_label"],
             )
-            parts = {}
-            total = 0.0
-            if trainer.image_rendering:
-                parts["render"] = trainer.render_fn(out, b["map"])
-                total = total + parts["render"]
-            if trainer.image_retrieval:
-                parts["retrieval"] = contrastive_loss_vs_db(
-                    trainer.embed_fn(out), tiles_emb, b["db_label"]
-                )
-                total = total + parts["retrieval"]
-            return total, (parts, updates)
-
-        (total, (parts, updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(st.params)
-        grad_norm = optax.global_norm(grads)
-        updates_tx, opt_state = trainer.tx.update(
-            grads, st.opt_state, st.params
-        )
-        params = optax.apply_updates(st.params, updates_tx)
-        new_stats = (
-            updates.get("batch_stats", st.batch_stats)
-            if st.batch_stats else st.batch_stats
-        )
-        st = st.replace(
-            params=params, batch_stats=new_stats, opt_state=opt_state,
-            step=st.step + 1,
-        )
-        metrics = {
-            "train_batch_loss": total,
-            "camera_encoder_grad_norm": grad_norm,
-        }
-        for k, v in parts.items():
-            metrics[f"train_batch_{k}_loss"] = v
-        return st, metrics
+            total = total + parts["retrieval"]
+        return total, parts
 
     @jax.jit
     def train_chunk(state, batches, rng, n_steps):
@@ -330,8 +306,10 @@ def main() -> int:
                 )
                 for k, v in batches.items()
             }
-            if tiles_emb is not None:
-                st, metrics = db_step(st, b, jax.random.fold_in(rng, i))
+            if dev_tiles is not None:
+                st, metrics, _ = trainer._step_with(
+                    st, b, jax.random.fold_in(rng, i), db_losses
+                )
             else:
                 b.pop("db_label", None)
                 st, metrics, _ = trainer._train_step_impl(
@@ -393,6 +371,18 @@ def main() -> int:
         "n_database_tiles": n,
         "device_batch": mb,
         "world_detail": args.detail,
+        "retrieval_embed_dim": args.head,
+        "learning_rate": args.lr,
+        "pose_swap": bool(args.pose_swap),
+        "pose_sign": args.pose_sign,
+        "max_steps": args.max_steps,
+        "chunk": args.chunk,
+        "drop_path_rate": cfg.model.drop_path_rate,
+        "loss": ("contrastive_vs_db" if mb < n else "in_batch_contrastive"),
+        "val_independence": "same world/trace/tiles, fresh per-view sensor "
+                            "noise (seed 1 vs 0) — train_R and val_R can "
+                            "legitimately coincide when ranking is noise-"
+                            "robust",
         "chance_pct": chance,
         "bar_5x_chance_pct": 5 * chance,
         "final": final,
