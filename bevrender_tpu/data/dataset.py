@@ -54,6 +54,67 @@ def _open_rgb(path: str):
     return Image.open(path).convert("RGB")
 
 
+def _decode_rgb(path: str) -> np.ndarray:
+    """Decode an image file to (H, W, 3) uint8: native libpng path
+    (csrc/decode.cc) with PIL fallback for non-PNG formats or when the
+    native library is unavailable (BEV_NATIVE=0)."""
+    from bevrender_tpu.data import native
+
+    out = native.decode_png(path)
+    if out is None:
+        out = np.asarray(_open_rgb(path))
+    return out
+
+
+class _ByteLRU:
+    """Byte-capped, thread-safe LRU of numpy arrays keyed by path.
+
+    The host input pipeline re-decodes every frame for EVERY window it
+    appears in (a frame recurs in up to window length windows, and again
+    each epoch) — and round-4 measurement pinned PNG decode as the 1-core
+    host's input bottleneck (TRAINER_OVERLAP_k8_png.json). Caching the
+    post-resize uint8 frame removes the repeat decodes entirely; the byte
+    cap keeps residency bounded on long traces. Thread-safe because the
+    DataLoader decodes in a thread pool.
+    """
+
+    def __init__(self, max_bytes: int):
+        import collections
+        import threading
+
+        self.max_bytes = max_bytes
+        self._data: "collections.OrderedDict[str, np.ndarray]" = (
+            collections.OrderedDict()
+        )
+        self._bytes = 0
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key: str) -> Optional[np.ndarray]:
+        with self._lock:
+            arr = self._data.get(key)
+            if arr is None:
+                self.misses += 1
+                return None
+            self._data.move_to_end(key)
+            self.hits += 1
+            return arr
+
+    def put(self, key: str, arr: np.ndarray) -> None:
+        if arr.nbytes > self.max_bytes:
+            return
+        with self._lock:
+            old = self._data.pop(key, None)
+            if old is not None:
+                self._bytes -= old.nbytes
+            self._data[key] = arr
+            self._bytes += arr.nbytes
+            while self._bytes > self.max_bytes:
+                _, evicted = self._data.popitem(last=False)
+                self._bytes -= evicted.nbytes
+
+
 class Augmenter:
     """Seeded numpy augmentations matching dataset.py:185-207's menus.
 
@@ -113,10 +174,25 @@ class GPSDeniedDataset:
         seed: int = 0,
         logger=None,
         raw_uint8: bool = False,
+        cache_mb: int = 256,
+        native_min_pixels: int = 100_000,
     ):
-        """``raw_uint8=True`` keeps only PIL decode (+ augment) on the host
-        and returns uint8 wide frames / map tiles; resize, view split and
-        normalization then run on device (data/preprocess.py)."""
+        """``raw_uint8=True`` keeps only host decode (+ augment) and returns
+        uint8 wide frames / map tiles; resize, view split and normalization
+        then run on device (data/preprocess.py).
+
+        ``cache_mb`` byte-caps the decoded-frame LRU (post-resize uint8
+        camera frames + decoded map tiles keyed by path; frames recur across
+        overlapping windows and epochs, and decode is the measured 1-core
+        host bottleneck — TRAINER_OVERLAP_k8_png.json). 0 disables caching.
+
+        ``native_min_pixels`` gates the native fused resize path by SOURCE
+        frame size: below the threshold the PIL composition wins in the live
+        loop (per-call ctypes overhead dominates at small shapes — measured
+        0.725x at 128x256 frames vs 2.74x at 512x640, round-4 finding). The
+        identity split+normalize on cache hits is always native (no resize,
+        single pass).
+        """
         self.datalist = datalist
         self.raw_uint8 = raw_uint8
         self.mode = mode
@@ -130,35 +206,90 @@ class GPSDeniedDataset:
         self.map_tile = map_tile
         self.rng = random.Random(seed)
         self.augment = Augmenter(data_augmentation, self.rng)
+        self.native_min_pixels = native_min_pixels
+        self.cache = _ByteLRU(cache_mb << 20) if cache_mb > 0 else None
 
     def __len__(self) -> int:
         return len(self.datalist)
 
     # ------------------------------------------------------------------
-    def _load_wide_image(self, path: str) -> np.ndarray:
-        from PIL import Image
+    def _decode_cached(self, path: str) -> np.ndarray:
+        """Decode at natural size through the LRU (raw_uint8 frames, map
+        tiles)."""
+        if self.cache is not None:
+            hit = self.cache.get(path)
+            if hit is not None:
+                return hit
+        img = _decode_rgb(path)
+        if self.cache is not None:
+            self.cache.put(path, img)
+        return img
 
-        img = np.asarray(Image.open(path).convert("RGB"))
-        if self.resize_cmr_img:
-            img = _resize_bilinear(img, self.resize_img_height, self.resize_img_width)
+    def _load_wide_image(self, path: str) -> np.ndarray:
+        """Decode (+ resize when configured) to uint8, through the LRU.
+
+        The cache stores the POST-resize frame (448 KB at 224x672 vs 1.8 MB
+        f32 views), so a hit skips decode AND resize — the two stages the
+        round-4 overlap bench measured as the 1-core host bottleneck. The
+        native path is gated by SOURCE pixel count (``native_min_pixels``);
+        below it the PIL composition runs (measured faster at small frames).
+        """
+        if not self.resize_cmr_img:
+            return self._decode_cached(path)
+        if self.cache is not None:
+            hit = self.cache.get(path)
+            if hit is not None:
+                return hit
+        from bevrender_tpu.data import native
+
+        h, w = self.resize_img_height, self.resize_img_width
+        img = None
+        dims = native.probe_png(path)
+        if dims is not None and dims[0] * dims[1] >= self.native_min_pixels:
+            # fused native decode + triangle resize, one call
+            img = native.decode_png_resize_u8(path, h, w)
+        if img is None:
+            raw = _decode_rgb(path)
+            if raw.shape[0] * raw.shape[1] >= self.native_min_pixels:
+                img = native.resize_u8(raw, h, w)
+            else:  # size gate: small frames resize faster through PIL
+                from PIL import Image
+
+                img = np.asarray(
+                    Image.fromarray(raw).resize((w, h), Image.BILINEAR)
+                )
+        if self.cache is not None:
+            self.cache.put(path, img)
         return img
 
     def _frame_views(self, path: str) -> np.ndarray:
         """Wide image -> (V, Hv, Wv, 3) float in [0,1], normalized.
 
-        One fused native pass (resize + view split + /255 + normalize,
-        csrc/preprocess.cc) when no augmentation runs (val/inference); with
-        augmentation the resize must happen first (augment operates on the
-        resized uint8 frame, reference dataset.py:185-207 order), so the
-        fused pass then covers split + normalize only."""
+        Steady state (cache hit, no augmentation): ONE native identity
+        split+normalize pass over the cached post-resize uint8 frame — no
+        decode, no resize (csrc/preprocess.cc identity fast path). Cache
+        miss: fused native decode+resize (csrc/decode.cc) fills the LRU.
+        With augmentation the same applies with the augment between (it
+        operates on the resized uint8 frame, reference dataset.py:185-207
+        order). With the cache disabled and no augmentation, the whole
+        file->views pipeline is a single native call
+        (``native.decode_png_views``)."""
         from bevrender_tpu.data import native
 
-        if self.augment.kind == "none" and self.resize_cmr_img:
-            raw = np.asarray(_open_rgb(path))
-            return native.fused_views(
-                raw, self.num_views, self.resize_img_height,
-                self.resize_img_width, self.img_norm_mean, self.img_norm_std,
-            )
+        if (
+            self.cache is None
+            and self.augment.kind == "none"
+            and self.resize_cmr_img
+        ):
+            dims = native.probe_png(path)
+            if dims is not None and dims[0] * dims[1] >= self.native_min_pixels:
+                out = native.decode_png_views(
+                    path, self.num_views, self.resize_img_height,
+                    self.resize_img_width, self.img_norm_mean,
+                    self.img_norm_std,
+                )
+                if out is not None:
+                    return out
         img = self.augment(self._load_wide_image(path))
         h, w, _ = img.shape
         return native.fused_views(
@@ -179,9 +310,7 @@ class GPSDeniedDataset:
             # host: decode + augment only; device does the rest
             cameras = np.stack(
                 [
-                    self.augment(
-                        np.asarray(_open_rgb(fr[REC_RGB_PATH]))
-                    )
+                    self.augment(self._decode_cached(fr[REC_RGB_PATH]))
                     for fr in frames
                 ]
             )  # (T, Hw, Ww, 3) uint8
@@ -199,13 +328,13 @@ class GPSDeniedDataset:
         )
 
         if self.raw_uint8:
-            map_img = np.asarray(_open_rgb(frames[-1][REC_MAP_PATH]))
+            map_img = self._decode_cached(frames[-1][REC_MAP_PATH])
         else:
             from bevrender_tpu.data import native
 
             # ToTensor only; no normalization (dataset.py:150-151)
             map_img = native.to_unit_f32(
-                np.asarray(_open_rgb(frames[-1][REC_MAP_PATH]))
+                self._decode_cached(frames[-1][REC_MAP_PATH])
             )
 
         return {

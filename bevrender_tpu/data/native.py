@@ -26,6 +26,7 @@ import numpy as np
 
 _ROOT = Path(__file__).resolve().parents[2]
 _SRC = _ROOT / "csrc" / "preprocess.cc"
+_SRC_DECODE = _ROOT / "csrc" / "decode.cc"  # libpng-backed PNG decode
 _SO = _ROOT / "build" / "libbevpreproc.so"
 
 _lock = threading.Lock()
@@ -42,22 +43,38 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         # per-process tmp name: concurrent builders (pytest-xdist, loader
         # processes) must not interleave g++ output into one file
         tmp = _SO.with_suffix(f".so.{os.getpid()}.tmp")
+        base = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "-fPIC"]
         try:
-            subprocess.run(
-                [
-                    "g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                    "-fPIC", str(_SRC), "-o", str(tmp),
-                ],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
+            # first choice: preprocess + libpng decode in one .so (decode.cc
+            # calls preprocess.cc's resize/normalize internally); if libpng
+            # is absent on this machine, fall back to preprocess alone and
+            # PNG decode stays on PIL
+            built = False
+            if _SRC_DECODE.exists():
+                try:
+                    subprocess.run(
+                        base + [str(_SRC), str(_SRC_DECODE), "-o", str(tmp),
+                                "-lpng", "-lz"],
+                        check=True, capture_output=True, timeout=120,
+                    )
+                    built = True
+                except subprocess.SubprocessError:
+                    built = False
+            if not built:
+                subprocess.run(
+                    base + [str(_SRC), "-o", str(tmp)],
+                    check=True, capture_output=True, timeout=120,
+                )
             os.replace(tmp, _SO)  # atomic publish
         finally:
             tmp.unlink(missing_ok=True)
 
     try:
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        src_mtime = _SRC.stat().st_mtime
+        if _SRC_DECODE.exists():
+            src_mtime = max(src_mtime, _SRC_DECODE.stat().st_mtime)
+        if not _SO.exists() or _SO.stat().st_mtime < src_mtime:
             _compile()
         try:
             lib = ctypes.CDLL(str(_SO))
@@ -83,6 +100,24 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         lib.bev_stack.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_void_p,
         ]
+        if hasattr(lib, "bev_png_probe"):  # libpng decode built in
+            lib.bev_png_probe.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.bev_png_probe.restype = ctypes.c_int
+            lib.bev_png_decode_rgb.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.bev_png_decode_rgb.restype = ctypes.c_int
+            lib.bev_png_views.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.bev_png_views.restype = ctypes.c_int
+            lib.bev_png_resize_u8.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.bev_png_resize_u8.restype = ctypes.c_int
         return lib
     except (subprocess.SubprocessError, OSError) as e:  # no toolchain / load fail
         import logging
@@ -175,6 +210,83 @@ def to_unit_f32(img_u8: np.ndarray) -> np.ndarray:
         lib.bev_u8_to_unit_f32(src.ctypes.data, dst.ctypes.data, src.size)
         return dst
     return np.asarray(img_u8, np.float32) / 255.0
+
+
+def _png_lib() -> Optional[ctypes.CDLL]:
+    lib = _get()
+    return lib if lib is not None and hasattr(lib, "bev_png_probe") else None
+
+
+def png_available() -> bool:
+    """True when the libpng-backed native decode path is live."""
+    return _png_lib() is not None
+
+
+def probe_png(path: str) -> Optional[tuple]:
+    """Header-only (H, W) of a PNG (~100 bytes of IO), or None."""
+    lib = _png_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.bev_png_probe(str(path).encode(), ctypes.byref(h), ctypes.byref(w)):
+        return None
+    return h.value, w.value
+
+
+def decode_png(path: str) -> Optional[np.ndarray]:
+    """Native PNG decode -> (H, W, 3) uint8 RGB, or None (caller falls back
+    to PIL). Handles palette/gray/16-bit/alpha/interlaced via libpng's
+    simplified API. Round-4 finding: decode, not resize, is the 1-core
+    host's input bottleneck (TRAINER_OVERLAP_k8_png.json)."""
+    lib = _png_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    p = str(path).encode()
+    if lib.bev_png_probe(p, ctypes.byref(h), ctypes.byref(w)):
+        return None
+    dst = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.bev_png_decode_rgb(p, dst.ctypes.data, h.value, w.value):
+        return None
+    return dst
+
+
+def decode_png_views(
+    path: str,
+    num_views: int,
+    out_h: int,
+    out_w: int,
+    mean: Sequence[float],
+    std: Sequence[float],
+) -> Optional[np.ndarray]:
+    """Fused file-path -> (V, out_h, out_w // V, 3) f32 normalized views:
+    decode + resize + split + /255 + normalize in ONE native call (no
+    intermediate full-size frame crosses the Python boundary). None on
+    unavailability/non-PNG (caller falls back to PIL + fused_views)."""
+    lib = _png_lib()
+    if lib is None:
+        return None
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    dst = np.empty((num_views, out_h, out_w // num_views, 3), np.float32)
+    rc = lib.bev_png_views(
+        str(path).encode(), dst.ctypes.data, num_views, out_h, out_w,
+        mean.ctypes.data, std.ctypes.data,
+    )
+    return None if rc else dst
+
+
+def decode_png_resize_u8(path: str, out_h: int, out_w: int) -> Optional[np.ndarray]:
+    """Fused file-path -> (out_h, out_w, 3) uint8: decode + triangle resize
+    (raw_uint8 host path). None on unavailability/failure."""
+    lib = _png_lib()
+    if lib is None:
+        return None
+    dst = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.bev_png_resize_u8(str(path).encode(), dst.ctypes.data, out_h, out_w)
+    return None if rc else dst
 
 
 def stack(arrays: Sequence[np.ndarray]) -> np.ndarray:

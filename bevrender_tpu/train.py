@@ -62,6 +62,8 @@ def build_dataset(config, logger):
         seed=config.train.seed,
         logger=logger,
         raw_uint8=dc.on_device_preprocess,
+        cache_mb=dc.frame_cache_mb,
+        native_min_pixels=dc.native_min_pixels,
     )
 
 

@@ -119,6 +119,26 @@ extern "C" {
 // mean/stdv are 3-element per-channel arrays. wo must be divisible by v.
 void bev_fused_views(const uint8_t* src, int hs, int ws, float* dst, int v,
                      int ho, int wo, const float* mean, const float* stdv) {
+  if (hs == ho && ws == wo) {
+    // identity resize (e.g. a cached post-resize frame): one direct
+    // split+normalize pass, no filter plans, no intermediate buffer
+    const int wv = wo / v;
+    const float s0 = 1.0f / (255.0f * stdv[0]), m0 = mean[0] / stdv[0];
+    const float s1 = 1.0f / (255.0f * stdv[1]), m1 = mean[1] / stdv[1];
+    const float s2 = 1.0f / (255.0f * stdv[2]), m2 = mean[2] / stdv[2];
+    for (int yo = 0; yo < ho; ++yo) {
+      const uint8_t* row = src + static_cast<size_t>(yo) * wo * 3;
+      for (int gx = 0; gx < wo; ++gx) {
+        const int vi = gx / wv;
+        const int x = gx - vi * wv;
+        float* o = dst + ((static_cast<size_t>(vi) * ho + yo) * wv + x) * 3;
+        o[0] = row[3 * gx + 0] * s0 - m0;
+        o[1] = row[3 * gx + 1] * s1 - m1;
+        o[2] = row[3 * gx + 2] * s2 - m2;
+      }
+    }
+    return;
+  }
   const AxisPlan px = make_plan(ws, wo);
   const AxisPlan py = make_plan(hs, ho);
   std::vector<float> tmp(static_cast<size_t>(hs) * wo * 3);

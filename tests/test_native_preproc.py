@@ -187,4 +187,12 @@ def test_dataset_uses_native_path(tmp_path):
     ref = (views / 255.0 - np.asarray(MEAN, np.float32)) / np.asarray(
         STD, np.float32
     )
-    np.testing.assert_allclose(s["camera"][0], ref, atol=2e-5)
+    # the pipeline rounds the resized frame to uint8 before normalizing
+    # (decoded-frame cache stores post-resize u8 — and that matches the
+    # reference exactly: PIL resize yields u8 before ToTensor/normalize,
+    # dataset.py:128-147), so agreement is at quantization tolerance
+    np.testing.assert_allclose(
+        s["camera"][0], ref, atol=2.5 / 255.0 / min(STD)
+    )
+    # determinism across cache hit/miss: a second read returns the same views
+    np.testing.assert_array_equal(s["camera"], ds[0]["camera"])
