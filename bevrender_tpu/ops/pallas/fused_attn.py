@@ -52,6 +52,11 @@ from bevrender_tpu.ops.pallas.lattice_bias import (
     _mix_resolve,
 )
 
+# grid order actually used by the MOST RECENT fused_site_call_sh trace (the
+# BEVRENDER_SH_GMAJOR env knob is trace-time only — see the note at its read
+# site); benches stamp this into artifacts instead of echoing the env.
+LAST_TRACED_GMAJOR = None
+
 
 def _site_fwd_body(
     packed_ref, t3_ref, wy_ref, f_ref, shift_ref, gcol_ref,
@@ -657,6 +662,13 @@ def fused_site_call_sh(
     packed2 = jnp.pad(packed.reshape(n_cells, TN), ((0, r8 - n_cells), (0, 0)))
     env = os.environ.get("BEVRENDER_SH_GMAJOR")
     gmajor = G > 1 if env is None else env == "1"
+    # TRACE-time knob (advisor r4): not part of any jit cache key, so
+    # flipping the env mid-process does NOT retrace already-compiled shapes —
+    # in-process A/Bs must jax.clear_caches() between arms or use fresh
+    # processes. LAST_TRACED_GMAJOR records what the most recent trace
+    # actually used, for artifact stamping.
+    global LAST_TRACED_GMAJOR
+    LAST_TRACED_GMAJOR = gmajor
     if gmajor:
         # program_id(0) = g * B + b; packed stays b-major, so remap
         cell = lambda bg: (bg % B) * G + bg // B

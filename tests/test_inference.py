@@ -11,6 +11,10 @@ from bevrender_tpu.data.dataset import SyntheticDataset
 from bevrender_tpu.data.prefetch import collate
 from bevrender_tpu.inference.register import RegistrationPipeline
 
+# compile-heavy on the 1-core host: excluded from the <5-min fast tier
+# (run 'pytest -m "not slow"' for the quick core-parity loop; see README)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pipeline():

@@ -22,6 +22,10 @@ from bevrender_tpu.ops.deform_attn import (
     streamed_deform_attention,
 )
 
+# compile-heavy on the 1-core host: excluded from the <5-min fast tier
+# (run 'pytest -m "not slow"' for the quick core-parity loop; see README)
+pytestmark = pytest.mark.slow
+
 
 def _r(seed, shape):
     return jnp.asarray(

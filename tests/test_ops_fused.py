@@ -20,6 +20,10 @@ from bevrender_tpu.ops.deform_attn import (
     streamed_deform_attention,
 )
 
+# compile-heavy on the 1-core host: excluded from the <5-min fast tier
+# (run 'pytest -m "not slow"' for the quick core-parity loop; see README)
+pytestmark = pytest.mark.slow
+
 
 def _setup(B=2, G=2, Hpg=2, H=8, W=8, d=2, seed=0):
     N = (H // 2) * W * d

@@ -13,6 +13,10 @@ from bevrender_tpu.parallel.mesh import (
     shard_batch,
 )
 
+# compile-heavy on the 1-core host: excluded from the <5-min fast tier
+# (run 'pytest -m "not slow"' for the quick core-parity loop; see README)
+pytestmark = pytest.mark.slow
+
 
 class TestMesh:
     def test_1d_mesh(self):

@@ -141,9 +141,17 @@ def test_recall_artifact_is_flagship_with_live_ego_motion():
     import json
     from pathlib import Path
 
+    import re
+
     root = Path(__file__).resolve().parents[1]
-    paths = [p for p in sorted(root.glob("RECALL_r*.json"))
-             if p.name >= "RECALL_r04"]
+    # select the highest ROUND NUMBER numerically (lexicographic globbing
+    # would misorder r100 vs r99 — advisor r4)
+    by_round = []
+    for p in root.glob("RECALL_r*.json"):
+        m = re.fullmatch(r"RECALL_r(\d+)\.json", p.name)
+        if m and int(m.group(1)) >= 4:
+            by_round.append((int(m.group(1)), p))
+    paths = [p for _, p in sorted(by_round)]
     if not paths:
         pytest.skip("no round>=4 recall artifact yet (run "
                     "scripts/recall_demo.py --size flagship --pose-mode bev "

@@ -19,6 +19,10 @@ from bevrender_tpu.data.prefetch import collate
 from bevrender_tpu.models.bevrender import BEVRenderModel
 from bevrender_tpu.training.trainer import Trainer
 
+# compile-heavy on the 1-core host: excluded from the <5-min fast tier
+# (run 'pytest -m "not slow"' for the quick core-parity loop; see README)
+pytestmark = pytest.mark.slow
+
 
 def _cfg(head: int) -> Config:
     cfg = Config()
