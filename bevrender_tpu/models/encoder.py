@@ -209,11 +209,22 @@ class BEVEncoderStage(nn.Module):
             )
             return out, None
 
+        # At eval the depth loop unrolls (params stay depth-stacked, so the
+        # tree is identical; the per-iteration dynamic param slices become
+        # static slices and XLA fuses across the two layers). Training keeps
+        # the rolled scan: its backward pass re-materializes per-layer and
+        # the rolled form keeps compile time at one layer per stage.
+        # BEVRENDER_UNROLL_DEPTH=0/1 overrides (trace-time knob, for A/B).
+        import os
+
+        env = os.environ.get("BEVRENDER_UNROLL_DEPTH")
+        unroll = (not train) if env is None else env == "1"
         scan = nn.scan(
             layer_body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.depth,
+            unroll=self.depth if unroll else 1,
         )
         bev_query, _ = scan(layer, bev_query, None)
 
@@ -268,6 +279,16 @@ class BEVEncoder(nn.Module):
             cfg.backbone, cfg.embed_dims[0], cfg.bev_shapes[0], cfg.img_height, norm
         )(folded, train)
         img_feat = feat.reshape((B, V) + feat.shape[1:])
+
+        # History alignment hoisted OUT of the layers (r5 glue cut): every
+        # layer of every stage used to re-warp the SAME prev_bev with the
+        # SAME pose (the reference does exactly that, encoder.py:366 —
+        # 14 identical warps per pass at depth 2 x 7 stages). The warp is a
+        # pure function of (prev_bev, pose), so warping once here is
+        # numerically identical; layers receive align_history=False.
+        if prev_bev is not None and align_history:
+            prev_bev = project_history_bev(prev_bev, vehicle_pose)
+        align_history = False
 
         for s in range(cfg.n_stages):
             # Per-stage width fix: the single-scale backbone emits
