@@ -46,7 +46,7 @@ import numpy as np
 from bevrender_tpu.utils import enable_compilation_cache
 
 
-def _png_dataset(n_items: int, bs: int):
+def _png_dataset(n_items: int, bs: int, cache_mb: int = 256):
     """On-disk PNG+CSV trace -> GPSDeniedDataset at the mid-config shapes
     (2 views of 64x64, T=2, 64px map tiles). Source frames are written at
     2x the target size so the loader really resizes (the native fused
@@ -89,7 +89,7 @@ def _png_dataset(n_items: int, bs: int):
     return GPSDeniedDataset(
         windows, mode="train", data_augmentation="none", num_views=2,
         window_num_imgs=1, resize_cmr_img=True, resize_img_height=64,
-        resize_img_width=128, map_tile=64, seed=0,
+        resize_img_width=128, map_tile=64, seed=0, cache_mb=cache_mb,
     )
 
 
@@ -243,11 +243,20 @@ def main():
         from bevrender_tpu.data import native as native_mod
 
         assert native_mod.available(), "native preprocess failed to build"
-        loop_ms, steps_done = timed_trainer_loop()   # native C++ host path
+        # Three arms over the SAME on-disk trace (round 5):
+        #   1. cache ON + native decode (production default: repeat decodes
+        #      eliminated by the decoded-frame LRU, data/dataset.py)
+        #   2. cache OFF + native decode (prices libpng decode alone)
+        #   3. cache OFF + PIL decode  (the round-4 decode-bound baseline)
+        loop_ms, steps_done = timed_trainer_loop()   # arm 1 (ds has cache)
         native_loop = loop_ms
+        cache = ds.cache
+        ds_nocache = _png_dataset(n_items, bs, cache_mb=0)
+        trainer.dataset = ds_nocache
+        nocache_native_loop, _ = timed_trainer_loop()  # arm 2
         os.environ["BEV_NATIVE"] = "0"
         try:
-            pil_loop, _ = timed_trainer_loop()       # PIL/numpy fallback
+            pil_loop, _ = timed_trainer_loop()       # arm 3
         finally:
             del os.environ["BEV_NATIVE"]
     else:
@@ -279,13 +288,21 @@ def main():
             "on-disk PNG+CSV trace via GPSDeniedDataset (real decode + "
             "resize + view-split + normalize in the loader threads)"
         )
-        out["trainer_loop_ms_native"] = round(native_loop, 2)
-        out["trainer_loop_ms_pil"] = round(pil_loop, 2)
-        out["native_vs_pil_loop_speedup"] = round(pil_loop / native_loop, 3)
-        out["overhead_pct_native"] = round(
+        out["trainer_loop_ms_cached_native"] = round(native_loop, 2)
+        out["trainer_loop_ms_nocache_native"] = round(nocache_native_loop, 2)
+        out["trainer_loop_ms_nocache_pil"] = round(pil_loop, 2)
+        out["overhead_pct_cached_native"] = round(
             (native_loop / raw_ms - 1.0) * 100.0, 1
         )
-        out["overhead_pct_pil"] = round((pil_loop / raw_ms - 1.0) * 100.0, 1)
+        out["overhead_pct_nocache_native"] = round(
+            (nocache_native_loop / raw_ms - 1.0) * 100.0, 1
+        )
+        out["overhead_pct_nocache_pil"] = round(
+            (pil_loop / raw_ms - 1.0) * 100.0, 1
+        )
+        out["cache_hits"] = cache.hits
+        out["cache_misses"] = cache.misses
+        out["cache_vs_pil_loop_speedup"] = round(pil_loop / native_loop, 3)
     print(json.dumps(out), flush=True)
     suffix = "_png" if args.dataset == "png" else ""
     if cfg.train.steps_per_dispatch > 1:
