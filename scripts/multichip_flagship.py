@@ -19,10 +19,22 @@ sys.path.insert(0, str(ROOT))
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
+    # executed-step mode (r5): XLA CPU collectives have a 20 s stuck-warn /
+    # 40 s hard-terminate rendezvous deadline; on a 1-core host the 8 shard
+    # threads reach a collective one after another, minutes apart, so the
+    # defaults kill a perfectly healthy step (measured: all-to-all
+    # rendezvous terminate at op_id=1872). Raise them far above the
+    # single-core serialization time.
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
 ).strip()
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from bevrender_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 from __graft_entry__ import dryrun_flagship_trace  # noqa: E402
 
