@@ -114,15 +114,10 @@ def test_recall_artifact_passes_5x_chance():
     (scripts/recall_demo.py -> RECALL_r*.json, newest round wins) must show
     recall@1 >= 5x chance on BOTH the train batch and the fresh-noise query
     set — the north-star accuracy clause, recorded and checked."""
-    import json
-    from pathlib import Path
-
-    root = Path(__file__).resolve().parents[1]
-    paths = sorted(root.glob("RECALL_r*.json"))
-    if not paths:
+    art = _latest_artifact("RECALL_r(\\d+)\\.json")
+    if art is None:
         pytest.skip("no RECALL_r*.json generated yet (run "
                     "scripts/recall_demo.py on the TPU)")
-    art = json.loads(paths[-1].read_text())
     bar = art["bar_5x_chance_pct"]
     final = art["final"]
     assert art["passes_5x_chance"], (
@@ -130,6 +125,46 @@ def test_recall_artifact_passes_5x_chance():
         f"val={final['val_R@1']:.1f}% below the 5x-chance bar {bar:.1f}%"
     )
     assert final["train_R@1"] >= bar and final["val_R@1"] >= bar
+
+
+def _latest_artifact(pattern: str, min_round: int = 0):
+    """Newest-round artifact matching ``pattern`` (one capture group = round
+    number, compared numerically — lexicographic ordering would misorder
+    r100 vs r99; advisor r4)."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    best = None
+    for p in root.glob("*.json"):
+        m = re.fullmatch(pattern, p.name)
+        if m and int(m.group(1)) >= min_round:
+            key = int(m.group(1))
+            if best is None or key > best[0]:
+                best = (key, p)
+    return None if best is None else json.loads(best[1].read_text())
+
+
+def test_pyramid_recall_artifact_passes_5x_chance():
+    """The reference's PUBLISHED default architecture (model/encoder.py:23-38:
+    56-28-14-7-14-28-56 U-shape, widths 64-512) must have committed LEARNING
+    evidence, not just timing (VERDICT r4 missing #1): the newest
+    RECALL_pyramid_r*.json passes the 5x-chance recall bar on both the train
+    batch and the fresh-noise query set."""
+    art = _latest_artifact(r"RECALL_pyramid_r(\d+)\.json", min_round=5)
+    if art is None:
+        pytest.skip("no round>=5 pyramid recall artifact yet (run "
+                    "scripts/recall_demo.py --size pyramid --pose-mode bev "
+                    "--pose-swap --head 256 on the TPU)")
+    assert art["size"] == "pyramid"
+    bar = art["bar_5x_chance_pct"]
+    final = art["final"]
+    assert art["passes_5x_chance"], (
+        f"pyramid artifact records R@1 train={final['train_R@1']:.1f}% "
+        f"val={final['val_R@1']:.1f}% below the 5x-chance bar {bar:.1f}%"
+    )
+    assert len(art["curve"]) >= 4
 
 
 def test_recall_artifact_is_flagship_with_live_ego_motion():
