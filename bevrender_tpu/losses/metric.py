@@ -117,6 +117,39 @@ def contrastive_loss_vs_db(
     return pos_loss + neg_loss
 
 
+def infonce_loss_vs_db(
+    cam: jax.Array,
+    db: jax.Array,
+    labels: jax.Array,
+    temperature: float = 0.07,
+) -> jax.Array:
+    """Softmax-CE (InfoNCE) retrieval loss of a query minibatch against a
+    resident database — the memory-bank companion of
+    :func:`contrastive_loss_vs_db` for TRAINED embedding heads.
+
+    Why it exists (measured, round 5): a freshly-initialized Siamese conv
+    head (models/retrieval.py) maps every image to nearly one point on the
+    unit sphere. At that collapse the margin-contrastive's gradients cancel
+    — pos pairs sit at d=0 (zero loss), neg pairs' pull-apart direction is
+    noise, and the loss plateaus at the margin value (observed: retrieval
+    loss pinned at ~1.00, grad-norm ~0.02, recall at chance for 750 steps
+    on the pyramid config). Softmax cross-entropy over similarities has a
+    nonzero, well-conditioned gradient everywhere including the collapsed
+    configuration, so the head breaks symmetry immediately. One (B, N)
+    matmul on the MXU, same data layout as the registration matcher.
+
+    The reference's PML losses (contrastive/triplet/lifted) are kept for
+    parity; this is the TPU-build's head-training default.
+    """
+    q = _l2_normalize(cam)
+    t = _l2_normalize(db)
+    logits = (q @ t.T) / temperature  # (B, N)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(
+        jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1)
+    )
+
+
 def triplet_loss(
     cam: jax.Array,
     map_: jax.Array,

@@ -150,6 +150,14 @@ def main() -> int:
                          "below achievable render error, so retrieval has "
                          "no signal); 0.5 gives tiles the distinctiveness "
                          "real aerial imagery has")
+    ap.add_argument("--db-loss", choices=("auto", "contrastive", "infonce"),
+                    default="auto",
+                    help="retrieval loss vs the resident DB: margin "
+                         "contrastive (PML parity) or InfoNCE softmax-CE. "
+                         "auto = infonce when --head > 0 (a fresh Siamese "
+                         "head collapses to one embedding and the margin "
+                         "loss's gradients cancel there — measured r5), "
+                         "contrastive otherwise (flatten parity)")
     ap.add_argument("--head", type=int, default=0,
                     help="retrieval_embed_dim: 0 = reference-parity flatten "
                          "(3*224*224-D), >0 = train the compact Siamese conv "
@@ -268,7 +276,18 @@ def main() -> int:
         )
         return [float(x) for x in r], float(np.mean(losses))
 
-    from bevrender_tpu.losses.metric import contrastive_loss_vs_db
+    from bevrender_tpu.losses.metric import (
+        contrastive_loss_vs_db,
+        infonce_loss_vs_db,
+    )
+
+    db_loss_kind = args.db_loss
+    if db_loss_kind == "auto":
+        db_loss_kind = "infonce" if args.head > 0 else "contrastive"
+    db_loss_fn = (
+        infonce_loss_vs_db if db_loss_kind == "infonce"
+        else contrastive_loss_vs_db
+    )
 
     def db_losses(variables, out, b):
         """Loss parts for ``trainer._step_with``: rendering as in production,
@@ -281,7 +300,7 @@ def main() -> int:
             parts["render"] = trainer.render_fn(out, b["map"])
             total = total + parts["render"]
         if trainer.image_retrieval:
-            parts["retrieval"] = contrastive_loss_vs_db(
+            parts["retrieval"] = db_loss_fn(
                 trainer._embed(variables, out),
                 trainer._embed(variables, dev_tiles),
                 b["db_label"],
@@ -371,6 +390,8 @@ def main() -> int:
         "n_database_tiles": n,
         "device_batch": mb,
         "world_detail": args.detail,
+        "world_px": world,
+        "map_tile_px": map_tile,
         "retrieval_embed_dim": args.head,
         "learning_rate": args.lr,
         "pose_swap": bool(args.pose_swap),
@@ -378,7 +399,8 @@ def main() -> int:
         "max_steps": args.max_steps,
         "chunk": args.chunk,
         "drop_path_rate": cfg.model.drop_path_rate,
-        "loss": ("contrastive_vs_db" if mb < n else "in_batch_contrastive"),
+        "loss": (f"{db_loss_kind}_vs_db" if mb < n
+                 else "in_batch_contrastive"),
         "val_independence": "same world/trace/tiles, fresh per-view sensor "
                             "noise (seed 1 vs 0) — train_R and val_R can "
                             "legitimately coincide when ranking is noise-"
