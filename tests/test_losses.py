@@ -148,3 +148,40 @@ class TestLossSelection:
         assert retrieval and not rendering
         rendering, retrieval, _, _ = select_losses("CROSS_ENTROPY_RENDER")
         assert rendering and not retrieval
+
+
+class TestInfoNCEVsDB:
+    def test_matches_manual_softmax_ce(self):
+        from bevrender_tpu.losses.metric import infonce_loss_vs_db
+
+        rng = np.random.default_rng(3)
+        q = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+        db = jnp.asarray(rng.standard_normal((6, 8)), jnp.float32)
+        labels = jnp.asarray([2, 0, 5, 1])
+        got = float(infonce_loss_vs_db(q, db, labels, temperature=0.1))
+        qn = np.asarray(q) / np.linalg.norm(q, axis=-1, keepdims=True)
+        tn = np.asarray(db) / np.linalg.norm(db, axis=-1, keepdims=True)
+        logits = qn @ tn.T / 0.1
+        logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+        want = -np.mean(logp[np.arange(4), np.asarray(labels)])
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_finite_gradient_near_embedding_collapse(self):
+        """The reason this loss exists (r5): a fresh Siamese head emits
+        NEARLY-identical embeddings for every image. Near that collapse the
+        softmax-CE gradient is finite and scales smoothly with the residual
+        differences (the margin-contrastive loss plateaus there — its pos
+        pairs sit at d~0 with zero loss and its neg gradient needs the
+        sqrt-distance direction, which is noise at d~0)."""
+        from bevrender_tpu.losses.metric import infonce_loss_vs_db
+
+        rng = np.random.default_rng(0)
+        one = np.ones((1, 8), np.float32)
+        q = jnp.asarray(one + 1e-3 * rng.standard_normal((4, 8)), jnp.float32)
+        db = jnp.asarray(one + 1e-3 * rng.standard_normal((6, 8)), jnp.float32)
+        labels = jnp.asarray([0, 1, 2, 3])
+        g_nce = jax.grad(
+            lambda q: infonce_loss_vs_db(q, db, labels)
+        )(q)
+        assert np.isfinite(np.asarray(g_nce)).all()
+        assert float(jnp.max(jnp.abs(g_nce))) > 1e-4
