@@ -261,20 +261,35 @@ def main() -> int:
 
     def recalls(state, b):
         # eval in --batch-sized chunks (the flagship forward at B=n would
-        # OOM); embeddings concatenate on host, recall runs over ALL n tiles
-        cams, maps, losses = [], [], []
+        # OOM); embeddings concatenate on host, recall runs over ALL n tiles.
+        # With a trained head (--head > 0) the FLATTEN recall is computed in
+        # the same pass from the raw renders/tiles — one run yields the
+        # head-vs-flatten comparison on identical weights.
+        cams, maps, fcams, fmaps, losses = [], [], [], [], []
         for j in range(nb):
             sub = {k: v[j * mb : (j + 1) * mb] for k, v in b.items()}
-            metrics, cam_e, map_e, _ = trainer._eval_step(state, sub)
+            metrics, cam_e, map_e, out = trainer._eval_step(state, sub)
             cams.append(np.asarray(cam_e))
             maps.append(np.asarray(map_e))
+            if args.head > 0:
+                fcams.append(np.asarray(out).reshape(out.shape[0], -1))
+                fmaps.append(
+                    np.asarray(sub["map"]).reshape(sub["map"].shape[0], -1)
+                )
             losses.append(float(metrics["val_batch_loss"]))
         r = recall_at_k(
             jnp.asarray(_l2n(np.concatenate(cams))),
             jnp.asarray(_l2n(np.concatenate(maps))),
             (1, 5, 10),
         )
-        return [float(x) for x in r], float(np.mean(losses))
+        rf = None
+        if args.head > 0:
+            rf = [float(x) for x in recall_at_k(
+                jnp.asarray(_l2n(np.concatenate(fcams))),
+                jnp.asarray(_l2n(np.concatenate(fmaps))),
+                (1, 5, 10),
+            )]
+        return [float(x) for x in r], rf, float(np.mean(losses))
 
     from bevrender_tpu.losses.metric import (
         contrastive_loss_vs_db,
@@ -341,8 +356,8 @@ def main() -> int:
     curve = []
 
     def record(steps, m, t0):
-        (r1, r5, r10), _ = recalls(state, dev_batch)
-        (v1, v5, v10), vloss = recalls(state, dev_val)
+        (r1, r5, r10), rf, _ = recalls(state, dev_batch)
+        (v1, v5, v10), vf, vloss = recalls(state, dev_val)
         row = {
             "steps": steps,
             "train_loss": m["train_batch_loss"],
@@ -354,6 +369,10 @@ def main() -> int:
             "val_R@1": v1, "val_R@5": v5, "val_R@10": v10,
             "elapsed_s": round(time.perf_counter() - t0, 1),
         }
+        if vf is not None:
+            # flatten-embedding recall on the SAME weights (head-vs-flatten)
+            row["train_flat_R@1"], _, _ = rf
+            row["val_flat_R@1"], row["val_flat_R@5"], _ = vf
         curve.append(row)
         fmt = lambda v, p: f"{v:.{p}f}" if v is not None else "-"
         print(
