@@ -158,6 +158,16 @@ def main() -> int:
                          "head collapses to one embedding and the margin "
                          "loss's gradients cancel there — measured r5), "
                          "contrastive otherwise (flatten parity)")
+    ap.add_argument("--head-warmup", type=int, default=200,
+                    help="head-only warm-start steps (head > 0): train the "
+                         "Siamese head on (tiles + sensor noise) vs tiles "
+                         "with InfoNCE before joint training. Measured r5: "
+                         "without it the joint system deadlocks — a fresh "
+                         "head is collapsed, so the renderer gets no pose-"
+                         "push through it, renders settle into the mean-"
+                         "image attractor, and the head in turn never sees "
+                         "distinct queries (retrieval loss pinned at log N "
+                         "on BOTH the flagship and pyramid configs)")
     ap.add_argument("--head", type=int, default=0,
                     help="retrieval_embed_dim: 0 = reference-parity flatten "
                          "(3*224*224-D), >0 = train the compact Siamese conv "
@@ -259,6 +269,57 @@ def main() -> int:
     # re-embed is a reshape, free under jit.
     dev_tiles = dev_batch["map"] if mb < n else None
 
+    if args.head > 0 and args.head_warmup > 0:
+        # ---- head-only warm-start (see --head-warmup help) ----
+        import optax
+
+        from bevrender_tpu.losses.metric import infonce_loss_vs_db
+        from bevrender_tpu.models.retrieval import RetrievalHead
+
+        head_mod = RetrievalHead(
+            embed_dim=args.head, widths=tuple(mdl.retrieval_head_widths)
+        )
+        hp = state.params["retrieval_head"]
+        wtx = optax.adam(1e-3)
+        wopt = wtx.init(hp)
+        tiles_f = dev_batch["map"]
+        labels_all = jnp.arange(n, dtype=jnp.int32)
+
+        @jax.jit
+        def wstep(hp, wopt, key):
+            def L(hp):
+                noisy = tiles_f + 0.05 * jax.random.normal(
+                    key, tiles_f.shape, tiles_f.dtype
+                )
+                q = head_mod.apply({"params": hp}, noisy)
+                t = head_mod.apply({"params": hp}, tiles_f)
+                return infonce_loss_vs_db(q, t, labels_all)
+
+            l, g = jax.value_and_grad(L)(hp)
+            u, wopt = wtx.update(g, wopt, hp)
+            return optax.apply_updates(hp, u), wopt, l
+
+        wkey = jax.random.PRNGKey(123)
+        wl = None
+        for i in range(args.head_warmup):
+            hp, wopt, wl = wstep(hp, wopt, jax.random.fold_in(wkey, i))
+        state = state.replace(
+            params=dict(state.params, retrieval_head=hp)
+        )
+        emb = head_mod.apply({"params": hp}, tiles_f)
+        noisy_emb = head_mod.apply(
+            {"params": hp},
+            tiles_f + 0.05 * jax.random.normal(wkey, tiles_f.shape,
+                                               tiles_f.dtype),
+        )
+        warm_r1 = float(jnp.mean(
+            (jnp.argmax((noisy_emb @ emb.T).astype(jnp.float32), -1)
+             == labels_all)
+        ) * 100.0)
+        print(f"head warm-start: {args.head_warmup} steps, final InfoNCE "
+              f"{float(wl):.4f}, noisy-tile self-retrieval R@1 "
+              f"{warm_r1:.1f}% (chance {100.0 / n:.1f}%)", flush=True)
+
     def recalls(state, b):
         # eval in --batch-sized chunks (the flagship forward at B=n would
         # OOM); embeddings concatenate on host, recall runs over ALL n tiles.
@@ -308,7 +369,13 @@ def main() -> int:
         """Loss parts for ``trainer._step_with``: rendering as in production,
         retrieval contrasted against the resident full tile database instead
         of in-batch pairs. The step mechanics (rng stream, BN update,
-        AdamW+clip) are the trainer's own — not cloned here."""
+        AdamW+clip) are the trainer's own — not cloned here.
+
+        With a trained head the FLATTEN contrastive term stays in the sum:
+        it pushes render PIXELS toward the own tile and away from the others
+        — the pose-specificity driver that broke the r4 flagship off the
+        mean-image attractor — while the head term trains the compact
+        embedding on the increasingly distinct renders."""
         parts = {}
         total = 0.0
         if trainer.image_rendering:
@@ -321,6 +388,12 @@ def main() -> int:
                 b["db_label"],
             )
             total = total + parts["retrieval"]
+            if args.head > 0:
+                flat = lambda x: x.reshape(x.shape[0], -1)
+                parts["retrieval_flat"] = contrastive_loss_vs_db(
+                    flat(out), flat(dev_tiles), b["db_label"]
+                )
+                total = total + parts["retrieval_flat"]
         return total, parts
 
     @jax.jit
@@ -331,6 +404,8 @@ def main() -> int:
             "train_batch_retrieval_loss": jnp.float32(0.0),
             "camera_encoder_grad_norm": jnp.float32(0.0),
         }
+        if args.head > 0 and dev_tiles is not None:
+            zero["train_batch_retrieval_flat_loss"] = jnp.float32(0.0)
 
         def body(i, carry):
             st, _ = carry
@@ -373,6 +448,9 @@ def main() -> int:
             # flatten-embedding recall on the SAME weights (head-vs-flatten)
             row["train_flat_R@1"], _, _ = rf
             row["val_flat_R@1"], row["val_flat_R@5"], _ = vf
+            row["retrieval_flat_loss"] = m.get(
+                "train_batch_retrieval_flat_loss"
+            )
         curve.append(row)
         fmt = lambda v, p: f"{v:.{p}f}" if v is not None else "-"
         print(
