@@ -453,11 +453,13 @@ def main() -> int:
             )
         curve.append(row)
         fmt = lambda v, p: f"{v:.{p}f}" if v is not None else "-"
+        flat = (f" flatR@1={row['val_flat_R@1']:.1f}%"
+                if "val_flat_R@1" in row else "")
         print(
             f"steps {steps}: loss={fmt(row['train_loss'], 4)} "
             f"(render {fmt(row['render_loss'], 4)} + retr "
             f"{fmt(row['retrieval_loss'], 4)}, |g|={fmt(row['grad_norm'], 2)}) "
-            f"train R@1={r1:.1f}% val R@1={v1:.1f}% "
+            f"train R@1={r1:.1f}% val R@1={v1:.1f}%{flat} "
             f"(chance {chance:.1f}%) [{row['elapsed_s']:.0f}s]", flush=True,
         )
         return r1, v1
