@@ -53,15 +53,24 @@ class RetrievalHead(nn.Module):
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
-        x = images
+        # The head runs in f32 REGARDLESS of the model compute dtype: the
+        # discriminative signal between geographically adjacent tiles is a
+        # ~1e-3-relative feature difference, and TPU-native bf16 GroupNorm
+        # reductions quantize it away — measured r5: the identical warm-start
+        # (300 InfoNCE steps on 32 tiles) trains to ~0 loss on CPU but stays
+        # pinned at log N on the chip in bf16. The head is ~0.5 M params on
+        # a few dozen images per call; f32 costs nothing that matters.
+        x = images.astype(jnp.float32)
         for i, w in enumerate(self.widths):
             k = 5 if i == 0 else 3
-            x = Conv(w, (k, k), strides=(2, 2), use_bias=False)(x)
-            x = nn.GroupNorm(num_groups=min(8, w), dtype=x.dtype)(x)
+            x = Conv(
+                w, (k, k), strides=(2, 2), use_bias=False,
+                dtype=jnp.float32,
+            )(x)
+            x = nn.GroupNorm(num_groups=min(8, w), dtype=jnp.float32)(x)
             x = nn.gelu(x)
         x = jnp.mean(x, axis=(1, 2))  # (B, C) global average pool
-        x = Dense(self.embed_dim)(x)
-        x = x.astype(jnp.float32)
+        x = Dense(self.embed_dim, dtype=jnp.float32)(x)
         return x / jnp.maximum(
             jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12
         )
