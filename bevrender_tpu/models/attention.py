@@ -310,14 +310,19 @@ class SCADeformableAttention(nn.Module):
         # --- per-view offset heads (cf. conv_offset_m{view},
         # SCA_deform_attn.py:56-121; see module docstring for the
         # shape-consistent redesign). Params stay per-view.
-        # BEVRENDER_FOLD_VIEWS=1 (trace-time A/B knob) batches all views
-        # into ONE site call (B-major fold, GSPMD-contiguous); measured
-        # SLOWER on v5e at every flagship stage (g8 0.94x, g4 0.96x,
-        # g1 0.81x vs the loop — the per-view calls pipeline better), so
-        # the per-view loop is the default. ---
+        # BEVRENDER_FOLD_VIEWS (trace-time A/B knob) batches all views
+        # into ONE site call (B-major fold, GSPMD-contiguous). History:
+        # round 3 measured fold SLOWER everywhere (g8 0.94x, g4 0.96x,
+        # g1 0.81x) and defaulted to the loop; round 5 re-ran the A/B on
+        # top of the g-major staged-table grid order (FOLD_VIEWS_AB.json):
+        # with the ~8 MB staged table resident across the folded B*V cells,
+        # fold WINS at G>=4 (g8 1.036x, g4 1.04x) and still loses at
+        # G<=2 (g1 0.74x, g2 0.81x) — so the default folds only the
+        # many-group stages. ---
         import os
 
-        fold_views = os.environ.get("BEVRENDER_FOLD_VIEWS") == "1"
+        _fv = os.environ.get("BEVRENDER_FOLD_VIEWS")
+        fold_views = (G >= 4) if _fv is None else _fv == "1"
         V = self.n_views
         view_pos = []
         for view in range(V):
